@@ -1,0 +1,231 @@
+"""Benchmark / sample CLI — analog of the reference sample binaries.
+
+Reference mapping (SURVEY.md section 2, L4):
+  ./bin/amb_s file.mtx            -> python -m nsparse_tpu spmv file.mtx
+  ./bin/cu_csr_s file.mtx         -> python -m nsparse_tpu spmv-xla file.mtx
+  ./bin/spgemm_hash_s file.mtx    -> python -m nsparse_tpu spgemm file.mtx
+  ./bin/spgemm_cu_csr_s file.mtx  -> python -m nsparse_tpu spgemm-xla file.mtx
+
+Same harness shape as the reference samples (``spmv_amb.cu:75-118``,
+``spgemm_hash.cu:79-94``): load matrix -> convert/tune -> timed trials ->
+GFLOPS -> verify vs oracle; plus what the reference lacks: a roofline %
+readout.  The "-xla" variants play cuSPARSE's role via
+``jax.experimental.sparse`` (BCOO), the vendor path on this platform.
+Synthetic matrices: pass ``gen:stencil:NX:NY``, ``gen:rmat:SCALE:EF`` or
+``gen:random:M:N:DENSITY`` instead of a path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load(spec: str, dtype):
+    from nsparse_tpu.io.generate import random_csr, rmat_csr, stencil_csr
+    from nsparse_tpu.io.matrix_market import read_mtx
+
+    if spec.startswith("gen:"):
+        parts = spec.split(":")
+        kind = parts[1]
+        if kind == "stencil":
+            return stencil_csr(int(parts[2]), int(parts[3]), dtype=dtype)
+        if kind == "rmat":
+            return rmat_csr(int(parts[2]), int(parts[3]), dtype=dtype)
+        if kind == "random":
+            return random_csr(int(parts[2]), int(parts[3]), float(parts[4]),
+                              dtype=dtype)
+        raise SystemExit(f"unknown generator {kind}")
+    return read_mtx(spec, dtype=dtype)
+
+
+def cmd_spmv(args):
+    import jax
+    import jax.numpy as jnp
+
+    from nsparse_tpu.formats.bsr import BSR
+    from nsparse_tpu.formats.ell import ELL
+    from nsparse_tpu.ops.spmv import spmv
+    from nsparse_tpu.tune.autotune import autotune_spmv
+    from nsparse_tpu.tune.plan import Plan
+    from nsparse_tpu.utils.checking import ans_check, spmv_oracle
+    from nsparse_tpu.utils.roofline import chip_specs, spmv_roofline_gflops
+    from nsparse_tpu.utils.timing import time_fn, gflops
+
+    dtype = np.float32 if args.precision == "single" else np.float64
+    a = _load(args.matrix, dtype)
+    m, n = a.shape
+    print(f"matrix: {args.matrix}  M={m} N={n} nnz={a.nnz}")
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=dtype)
+
+    import time
+
+    t0 = time.perf_counter()
+    if args.format == "auto":
+        fmt, plan = autotune_spmv(a, x, trials=args.tune_trials,
+                                  cache_dir=args.plan_cache)
+    else:
+        plan = Plan(format=args.format)
+        if args.format == "ell":
+            fmt = ELL.from_csr(a)
+        elif args.format == "bsr":
+            fmt = BSR.from_csr(a)
+        else:
+            fmt = a
+    conv_ms = (time.perf_counter() - t0) * 1e3
+    print(f"conversion/tuning: {conv_ms:.1f} ms  format={plan.format}")
+
+    f = jax.jit(lambda fmt, x: spmv(fmt, x))
+    ms = time_fn(lambda: f(fmt, x), trials=args.trials, warmup=1)
+    flops = 2.0 * a.nnz
+    gf = gflops(flops, ms)
+    padded = getattr(fmt, "padded_nnz", a.nnz)
+    roof = spmv_roofline_gflops(a.nnz, m, n, val_bytes=dtype().itemsize,
+                                padded_nnz=padded)
+    print(f"SpMV [{plan.format}]: {ms:.4f} ms  {gf:.2f} GFLOPS  "
+          f"({100 * gf / roof:.1f}% of {chip_specs().name} roofline)")
+
+    y = np.asarray(f(fmt, x))
+    ok, nf = ans_check(y, spmv_oracle(a, x), dtype=dtype, verbose=True)
+    print("pass" if ok else f"FAIL ({nf} mismatches)")
+    return 0 if ok else 1
+
+
+def cmd_spmv_xla(args):
+    """Vendor-baseline role: jax.experimental.sparse BCOO matvec."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    from nsparse_tpu.utils.checking import ans_check, spmv_oracle
+    from nsparse_tpu.utils.timing import time_fn, gflops
+
+    dtype = np.float32 if args.precision == "single" else np.float64
+    a = _load(args.matrix, dtype)
+    m, n = a.shape
+    print(f"matrix: {args.matrix}  M={m} N={n} nnz={a.nnz}")
+    s = a.to_scipy().tocoo()
+    bcoo = jsparse.BCOO(
+        (jnp.asarray(s.data), jnp.asarray(np.stack([s.row, s.col], 1))),
+        shape=(m, n),
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=dtype)
+    f = jax.jit(lambda x: bcoo @ x)
+    ms = time_fn(lambda: f(x), trials=args.trials, warmup=1)
+    gf = gflops(2.0 * a.nnz, ms)
+    print(f"SpMV [bcoo-xla]: {ms:.4f} ms  {gf:.2f} GFLOPS")
+    ok, nf = ans_check(np.asarray(f(x)), spmv_oracle(a, x), dtype=dtype)
+    print("pass" if ok else f"FAIL ({nf} mismatches)")
+    return 0 if ok else 1
+
+
+def cmd_spgemm(args):
+    import jax
+
+    from nsparse_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
+    from nsparse_tpu.utils.checking import check_spgemm_answer, spgemm_oracle
+    from nsparse_tpu.utils.roofline import chip_specs, spgemm_roofline_gflops
+    from nsparse_tpu.utils.timing import time_fn, gflops
+
+    dtype = np.float32 if args.precision == "single" else np.float64
+    a = _load(args.matrix, dtype)
+    m, n = a.shape
+    print(f"matrix: {args.matrix}  M={m} N={n} nnz={a.nnz}")
+
+    import time
+
+    t0 = time.perf_counter()
+    plan = spgemm_plan(a, a)
+    sym_ms = (time.perf_counter() - t0) * 1e3
+    # the compression funnel the reference prints (spgemm_hash.cu:64)
+    print(f"nnz(A): {a.nnz}  intermediate products: {plan.n_products}  "
+          f"nnz(C): {plan.c_nnz}")
+    print(f"symbolic (plan): {sym_ms:.1f} ms")
+
+    f = jax.jit(spgemm_numeric)
+    ms = time_fn(lambda: f(plan, a, a), trials=args.trials, warmup=1)
+    gf = gflops(plan.flops, ms)
+    roof = spgemm_roofline_gflops(a.nnz, a.nnz, plan.c_nnz, plan.n_products,
+                                  val_bytes=dtype().itemsize)
+    print(f"SpGEMM numeric: {ms:.4f} ms  {gf:.2f} GFLOPS  "
+          f"({100 * gf / roof:.1f}% of {chip_specs().name} roofline)")
+
+    c = f(plan, a, a)
+    ok = check_spgemm_answer(c, spgemm_oracle(a, a), verbose=True)
+    print("pass" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def cmd_spgemm_xla(args):
+    """Vendor-baseline role: jax.experimental.sparse BCOO @ BCOO."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    from nsparse_tpu.ops.spgemm import spgemm_flops
+    from nsparse_tpu.utils.timing import time_fn, gflops
+
+    dtype = np.float32 if args.precision == "single" else np.float64
+    a = _load(args.matrix, dtype)
+    m, n = a.shape
+    print(f"matrix: {args.matrix}  M={m} N={n} nnz={a.nnz}")
+    s = a.to_scipy().tocoo()
+    bcoo = jsparse.BCOO(
+        (jnp.asarray(s.data), jnp.asarray(np.stack([s.row, s.col], 1))),
+        shape=(m, n),
+    )
+    flop = spgemm_flops(a, a)
+    spinfo = jsparse.BCOO((bcoo.data, bcoo.indices), shape=(m, n))
+    f = jax.jit(lambda l, r: (l @ r).data)
+    try:
+        ms = time_fn(lambda: f(bcoo, bcoo), trials=args.trials, warmup=1)
+        print(f"SpGEMM [bcoo-xla]: {ms:.4f} ms  {gflops(flop, ms):.2f} GFLOPS")
+    except Exception as e:  # BCOO spgemm support varies by backend
+        print(f"SpGEMM [bcoo-xla]: unsupported on this backend ({e})")
+        return 1
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nsparse_tpu")
+    ap.add_argument("--precision", choices=["single", "double"],
+                    default="double")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("spmv")
+    sp.add_argument("matrix")
+    sp.add_argument("--format", choices=["auto", "ell", "bsr", "csr"],
+                    default="auto")
+    sp.add_argument("--trials", type=int, default=101)
+    sp.add_argument("--tune-trials", type=int, default=5)
+    sp.add_argument("--plan-cache", default=None)
+    sp.set_defaults(fn=cmd_spmv)
+
+    sx = sub.add_parser("spmv-xla")
+    sx.add_argument("matrix")
+    sx.add_argument("--trials", type=int, default=101)
+    sx.set_defaults(fn=cmd_spmv_xla)
+
+    sg = sub.add_parser("spgemm")
+    sg.add_argument("matrix")
+    sg.add_argument("--trials", type=int, default=11)
+    sg.set_defaults(fn=cmd_spgemm)
+
+    sgx = sub.add_parser("spgemm-xla")
+    sgx.add_argument("matrix")
+    sgx.add_argument("--trials", type=int, default=11)
+    sgx.set_defaults(fn=cmd_spgemm_xla)
+
+    args = ap.parse_args(argv)
+    if args.precision == "double":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

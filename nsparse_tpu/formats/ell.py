@@ -1,0 +1,182 @@
+"""Sigma-sorted, width-binned ELL slabs — the TPU answer to AMB / SELL-C-sigma.
+
+The reference's AMB format (``cuda-c/src/conversion/convert_amb.cu``) fights
+GPU-specific battles: warp-sized chunks, 16-bit compressed column indices,
+atomic scatter into a permuted output.  The TPU constraints are different —
+XLA wants static rectangular shapes, the VPU wants long lane-contiguous
+vectors, and there are no scatter atomics — so the design here is:
+
+- sort rows by descending nnz (the sigma-sort of ``convert_amb.cu:670-696``,
+  with sigma = whole matrix by default);
+- bin rows into geometric width classes W in {8, 16, 32, ...} (the analog of
+  AMB's block_size search + the SpGEMM row binning) and pack each class into
+  a rectangular **slab** stored width-major ``(W, R)`` with R padded to a
+  multiple of 128 lanes — each ``val[w, :] * x[col[w, :]]`` step is then a
+  fully vectorized gather+FMA over the lane dimension with **no scatter**;
+- the output permutation is applied as a *gather* (``y_all[pos]``) instead of
+  the reference's atomicAdd scatter (``kernel_spmv_amb.cu:67-78``): every row
+  lives in exactly one slab, so no accumulation across slabs is needed.
+
+Padding slots carry ``col == 0, val == 0`` (explicit zeros, the analog of
+``set_blocked_col_val``'s zero fill, ``convert_amb.cu:473-525``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsparse_tpu.formats.csr import CSR
+
+LANES = 128
+SUBLANES = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Width-binned ELL slabs.
+
+    Attributes:
+      vals: tuple of ``(W_i, R_i)`` value slabs (width-major).
+      cols: tuple of ``(W_i, R_i)`` int32 column-index slabs.
+      pos:  ``(M,)`` int32 — original row -> index into the concatenation of
+            per-slab outputs (gather-based inverse of the sort permutation).
+      shape: static (M, N).
+      widths: static tuple of slab widths (for reporting / tuning).
+      nnz: static true nnz.
+    """
+
+    vals: Tuple[jax.Array, ...]
+    cols: Tuple[jax.Array, ...]
+    pos: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    widths: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.vals[0].dtype
+
+    @property
+    def padded_nnz(self) -> int:
+        """Stored slots incl. explicit zeros — the bandwidth cost model input
+        (analog of the footprint model in ``convert_amb.cu:785-798``)."""
+        return int(sum(v.size for v in self.vals))
+
+    @classmethod
+    def from_csr(
+        cls,
+        a: CSR,
+        min_width: int = SUBLANES,
+        max_slabs: int = 8,
+        sigma: int | None = None,
+    ) -> "ELL":
+        """Host-side conversion (the ``sf_csr2amb`` analog, minus the timer
+        search — see ``nsparse_tpu.tune.autotune`` for that).
+
+        Args:
+          min_width: smallest width class; sublane padding makes anything
+            below 8 free, so 8 is the natural floor.
+          max_slabs: cap on number of width classes (guards compile time).
+          sigma: sort window; ``None`` sorts globally.  Matches the role of
+            SIGMA=32768 in the reference (``nsparse.h:30``).
+        """
+        m, n = a.shape
+        rpt = np.asarray(a.rpt)
+        col = np.asarray(a.col)[: a.nnz]
+        val = np.asarray(a.val)[: a.nnz]
+        deg = np.diff(rpt)
+
+        # sigma-windowed descending sort by row length
+        order = np.empty(m, dtype=np.int64)
+        if sigma is None or sigma >= m:
+            order = np.argsort(-deg, kind="stable")
+        else:
+            for s in range(0, m, sigma):
+                e = min(s + sigma, m)
+                order[s:e] = s + np.argsort(-deg[s:e], kind="stable")
+
+        # geometric width classes
+        max_deg = int(deg.max()) if m else 0
+        levels = []
+        w = max(int(min_width), 1)
+        while True:
+            levels.append(w)
+            if w >= max(max_deg, 1):
+                break
+            w *= 2
+        if len(levels) > max_slabs:
+            # merge the smallest classes upward
+            levels = levels[len(levels) - max_slabs:]
+        levels = sorted(levels)
+
+        def level_of(d):
+            for li, w in enumerate(levels):
+                if d <= w:
+                    return li
+            return len(levels) - 1
+
+        slab_rows = [[] for _ in levels]
+        for r in order:
+            slab_rows[level_of(deg[r])].append(r)
+
+        vals, colss, widths = [], [], []
+        pos = np.zeros(m, dtype=np.int32)
+        offset = 0
+        for li, w in enumerate(levels):
+            rows = slab_rows[li]
+            if not rows:
+                continue
+            rpad = _round_up(len(rows), LANES)
+            sval = np.zeros((w, rpad), dtype=val.dtype)
+            scol = np.zeros((w, rpad), dtype=np.int32)
+            for j, r in enumerate(rows):
+                d = int(deg[r])
+                s, e = rpt[r], rpt[r] + min(d, w)
+                sval[: e - s, j] = val[s:e]
+                scol[: e - s, j] = col[s:e]
+                pos[r] = offset + j
+            vals.append(jnp.asarray(sval))
+            colss.append(jnp.asarray(scol))
+            widths.append(w)
+            offset += rpad
+
+        if not vals:  # empty matrix
+            vals = [jnp.zeros((1, LANES), dtype=val.dtype)]
+            colss = [jnp.zeros((1, LANES), dtype=np.int32)]
+            widths = [1]
+
+        return cls(
+            vals=tuple(vals),
+            cols=tuple(colss),
+            pos=jnp.asarray(pos),
+            shape=(m, n),
+            widths=tuple(widths),
+            nnz=a.nnz,
+        )
+
+    def to_dense(self) -> jax.Array:
+        m, n = self.shape
+        out = np.zeros((m + 1, n), dtype=np.asarray(self.vals[0]).dtype)
+        # reconstruct per-slab then gather rows by pos
+        outs = []
+        for v, c in zip(self.vals, self.cols):
+            v = np.asarray(v)
+            c = np.asarray(c)
+            w, r = v.shape
+            slab = np.zeros((r, n), dtype=v.dtype)
+            for wi in range(w):
+                np.add.at(slab, (np.arange(r), c[wi]), v[wi])
+            outs.append(slab)
+        all_rows = np.concatenate(outs, axis=0)
+        pos = np.asarray(self.pos)
+        return jnp.asarray(all_rows[pos])

@@ -1,0 +1,220 @@
+"""SpGEMM C = A @ B via expand / sort / compress (ESC) with a reusable plan.
+
+TPU-native redesign of the reference's two-phase hash SpGEMM
+(``cuda-c/src/kernel/kernel_spgemm_hash_template.cu``): shared-memory hash
+tables with atomicCAS insert + atomicAdd accumulate do not map to TPU (no
+scatter atomics, vector units want contiguous work), so the same two phases
+are recast on sort/scan primitives:
+
+- **symbolic** (analog of ``set_row_nnz``): expand every intermediate
+  product (a_ik, b_kj), sort by (i, j) with ``jax.lax.sort``, and count
+  segment boundaries — deterministic and race-free by construction.
+- **numeric** (analog of ``calculate_value_col_bin``): with the sorted
+  order captured as gather indices, the value computation is just
+  ``segment_sum(a_val[apos] * b_val[bpos], out_pos)`` — two gathers, one
+  multiply, one sorted segment reduction, no sort at all.
+
+The captured :class:`SpgemmPlan` is the analog of both the reference's
+symbolic output *and* its ``SpGEMM_Hash_Numeric`` re-run API
+(``cuda-cpp/inc/HashSpGEMM.hpp:1014-1027``): for a fixed sparsity pattern,
+new values of A/B re-run the numeric phase only.
+
+Static-shape policy: the total intermediate-product count P must be known
+to size the expansion, and the output nnz must be known to size C.  Both
+require one device->host sync each — mirroring the reference's single
+unavoidable sync after the symbolic phase
+(``kernel_spgemm_hash_d.cu:1183-1184``).  Output columns are sorted
+ascending within each row, matching the reference's sorted output used for
+exact-structure comparison (``template.cu:805-815``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nsparse_tpu.formats.csr import CSR
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1)) + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# FLOP counting (analog of get_spgemm_flop, kernel_spgemm_cu_csr.cu:35-57)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _intprod_per_row(a: CSR, b: CSR) -> jax.Array:
+    """Per-row intermediate product counts: sum_k in row(i) nnz(B[k, :])."""
+    b_deg = b.rpt[1:] - b.rpt[:-1]
+    cnt = jnp.where(a.valid_mask(), b_deg[a.col], 0)
+    per_row = jax.ops.segment_sum(
+        cnt, a.row_ids(), num_segments=a.shape[0] + 1, indices_are_sorted=True
+    )
+    return per_row[: a.shape[0]]
+
+
+def spgemm_flops(a: CSR, b: CSR) -> int:
+    """Total FLOPs = 2 * total intermediate products (host int)."""
+    return 2 * int(jnp.sum(_intprod_per_row(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpgemmPlan:
+    """Captured sparsity computation of C = A @ B.
+
+    Attributes:
+      apos: (P_pad,) gather index into A's padded nnz arrays, sorted order.
+      bpos: (P_pad,) gather index into B's padded nnz arrays, sorted order.
+      out_pos: (P_pad,) output slot per product; invalid slots -> c_cap.
+      c_rpt: (M+1,) output row pointers.
+      c_col: (c_cap,) output column indices (sorted within rows).
+      shape: static (M, N) of C.
+      c_nnz: static output nnz.
+      n_products: static total intermediate products P (flop = 2 * P).
+    """
+
+    apos: jax.Array
+    bpos: jax.Array
+    out_pos: jax.Array
+    c_rpt: jax.Array
+    c_col: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    c_nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_products: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def c_capacity(self) -> int:
+        return int(self.c_col.shape[0])
+
+    @property
+    def flops(self) -> int:
+        return 2 * self.n_products
+
+
+def _expand_sort(a: CSR, b: CSR, p_pad: int):
+    """Expand all intermediate products and sort by (row, col).
+
+    Returns sorted (row, col, apos, bpos) plus boundary flags. Shapes are
+    (p_pad,); slots beyond the true product count carry row == M.
+    """
+    m = a.shape[0]
+    cap_a = a.capacity
+
+    b_deg = b.rpt[1:] - b.rpt[:-1]
+    cnt = jnp.where(a.valid_mask(), b_deg[a.col], 0)
+    off = jnp.cumsum(cnt)  # inclusive prefix; off[-1] == P
+    total = off[cap_a - 1] if cap_a > 0 else jnp.int32(0)
+
+    t = jnp.arange(p_pad, dtype=jnp.int32)
+    # Which A-entry does product t come from? First k with off[k] > t.
+    k = jnp.searchsorted(off, t, side="right").astype(jnp.int32)
+    k = jnp.minimum(k, cap_a - 1)
+    start = off[k] - cnt[k]  # exclusive prefix for entry k
+    valid = t < total
+
+    acol = a.col[k]
+    bpos = b.rpt[acol] + (t - start)
+    bpos = jnp.where(valid, bpos, 0)
+    a_rows = a.row_ids()
+    row = jnp.where(valid, a_rows[k], m)
+    ccol = jnp.where(valid, b.col[bpos], 0)
+
+    row_s, col_s, apos_s, bpos_s = jax.lax.sort(
+        (row, ccol, k, bpos), num_keys=2
+    )
+
+    prev_row = jnp.concatenate([jnp.full((1,), -1, row_s.dtype), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, col_s.dtype), col_s[:-1]])
+    is_new = (row_s != prev_row) | (col_s != prev_col)
+    flags = is_new & (row_s < m)
+    return row_s, col_s, apos_s, bpos_s, flags
+
+
+_expand_sort_jit = jax.jit(_expand_sort, static_argnums=2)
+
+
+def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
+    """Symbolic phase: build the reusable plan (two host syncs: P and nnz_C)."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+    m, n = a.shape[0], b.shape[1]
+
+    per_row = _intprod_per_row(a, b)
+    p_total = int(jnp.sum(per_row))  # sync 1 (sizes the expansion)
+    p_pad = _round_up(p_total, LANES)
+
+    row_s, col_s, apos_s, bpos_s, flags = _expand_sort_jit(a, b, p_pad)
+
+    flags_i = flags.astype(jnp.int32)
+    out_pos_valid = jnp.cumsum(flags_i) - 1
+    valid = row_s < m
+    c_nnz = int(jnp.sum(flags_i))  # sync 2 (sizes C)
+    c_cap = _round_up(c_nnz, LANES)
+
+    out_pos = jnp.where(valid, jnp.minimum(out_pos_valid, c_cap - 1), c_cap)
+
+    # Output structure: scatter boundary (row, col) to their output slot.
+    tgt = jnp.where(flags, out_pos_valid, c_cap)
+    c_col = jnp.zeros(c_cap + 1, dtype=jnp.int32).at[tgt].set(col_s)[:c_cap]
+    row_counts = jax.ops.segment_sum(
+        flags_i, row_s, num_segments=m + 1, indices_are_sorted=True
+    )[:m]
+    c_rpt = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_counts).astype(jnp.int32)]
+    )
+
+    return SpgemmPlan(
+        apos=apos_s,
+        bpos=bpos_s,
+        out_pos=out_pos,
+        c_rpt=c_rpt,
+        c_col=c_col,
+        shape=(m, n),
+        c_nnz=c_nnz,
+        n_products=p_total,
+    )
+
+
+def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
+    """Numeric phase: gather + multiply + sorted segment-sum.  Pure jit path;
+    the ``SpGEMM_Hash_Numeric`` analog (same pattern, new values)."""
+    prod = a.val[plan.apos] * b.val[plan.bpos]
+    c_val = jax.ops.segment_sum(
+        prod,
+        plan.out_pos,
+        num_segments=plan.c_capacity + 1,
+        indices_are_sorted=True,
+    )[: plan.c_capacity]
+    return CSR(
+        rpt=plan.c_rpt,
+        col=plan.c_col,
+        val=c_val.astype(a.val.dtype),
+        shape=plan.shape,
+        nnz=plan.c_nnz,
+    )
+
+
+def spgemm(a: CSR, b: CSR, plan: SpgemmPlan | None = None) -> CSR:
+    """C = A @ B (the ``spgemm_kernel_hash`` / ``SpGEMM_Hash`` analog)."""
+    if plan is None:
+        plan = spgemm_plan(a, b)
+    return spgemm_numeric(plan, a, b)
+
+
+def spgemm_symbolic_nnz(a: CSR, b: CSR) -> int:
+    """Output nnz only (the ``set_row_nnz`` + scan readback analog)."""
+    return spgemm_plan(a, b).c_nnz

@@ -1,0 +1,87 @@
+"""Sparse matrix-vector product y = A @ x.
+
+Three compute paths, all jit-safe with static shapes:
+
+- ``spmv_csr``  — reference-semantics path: gather x[col], multiply, and
+  reduce by row with a sorted ``segment_sum``.  This is the semantic
+  contract (the role of the serial CPU oracle ``csr_kernel``,
+  reference ``cuda-c/src/nsparse.cu:240-259``) and the fallback everywhere.
+- ``spmv_ell``  — the AMB analog hot path for the VPU: per width-binned slab,
+  ``y += val[w, :] * x[col[w, :]]`` is a lane-contiguous gather+FMA with no
+  scatter; the reference's atomic permuted scatter
+  (``kernel_spmv_amb.cu:67-78``) becomes a final gather by ``pos``.
+- ``spmv_bsr``  — dense-tile path; see ``ops/kernels/spmv_pallas.py`` for
+  the Pallas/MXU kernel, this module holds the XLA fallback.
+
+Dispatch by format type via ``spmv``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nsparse_tpu.formats.bsr import BSR
+from nsparse_tpu.formats.csr import CSR
+from nsparse_tpu.formats.ell import ELL
+
+
+def spmv_csr(a: CSR, x: jax.Array) -> jax.Array:
+    """y = A @ x for CSR — gather + sorted segment-sum."""
+    m = a.shape[0]
+    rows = a.row_ids()  # padded tail -> m (dropped by num_segments trick)
+    prod = a.val * x[a.col]
+    y = jax.ops.segment_sum(
+        prod, rows, num_segments=m + 1, indices_are_sorted=True
+    )
+    return y[:m]
+
+
+def spmv_ell(a: ELL, x: jax.Array) -> jax.Array:
+    """y = A @ x for width-binned ELL slabs (vectorized gather+FMA)."""
+    outs = []
+    for val, col in zip(a.vals, a.cols):
+        # (W, R): reduce over the width axis; every step is a lane-wide FMA.
+        outs.append(jnp.sum(val * x[col], axis=0))
+    y_all = jnp.concatenate(outs, axis=0)
+    return y_all[a.pos]
+
+
+def spmv_bsr(a: BSR, x: jax.Array) -> jax.Array:
+    """y = A @ x for BSR — XLA fallback (einsum + segment-sum over tiles).
+
+    The TPU hot path is the Pallas kernel in ``ops/kernels/spmv_pallas``;
+    this version keeps CPU/debug parity.
+    """
+    br, bc = a.blocksize
+    n = a.shape[1]
+    nbc = (n + bc - 1) // bc
+    xp = jnp.pad(x, (0, nbc * bc - n)).reshape(nbc, bc)
+    xg = xp[a.block_col]  # (nblocks, bc)
+    yb = jnp.einsum(
+        "krc,kc->kr", a.data, xg.astype(a.data.dtype),
+        preferred_element_type=a.data.dtype,
+    )
+    y = jax.ops.segment_sum(
+        yb, a.block_row, num_segments=a.n_block_rows, indices_are_sorted=True
+    )
+    return y.reshape(-1)[: a.shape[0]]
+
+
+def spmv(a, x: jax.Array, use_pallas: bool | None = None) -> jax.Array:
+    """Format-dispatched SpMV (the ``sf_spmv_amb`` / ``AMB::spmv`` analog)."""
+    if isinstance(a, CSR):
+        return spmv_csr(a, x)
+    if isinstance(a, ELL):
+        return spmv_ell(a, x)
+    if isinstance(a, BSR):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from nsparse_tpu.ops.kernels.spmv_pallas import spmv_bsr_pallas
+
+            return spmv_bsr_pallas(a, x)
+        return spmv_bsr(a, x)
+    raise TypeError(f"unsupported format {type(a)}")

@@ -1,0 +1,13 @@
+from nsparse_tpu.parallel.mesh import make_mesh
+from nsparse_tpu.parallel.partition import PartitionedCSR, partition_rows
+from nsparse_tpu.parallel.spmv import spmv_dist
+from nsparse_tpu.parallel.spgemm import spgemm_dist, rap_dist
+
+__all__ = [
+    "make_mesh",
+    "PartitionedCSR",
+    "partition_rows",
+    "spmv_dist",
+    "spgemm_dist",
+    "rap_dist",
+]

@@ -1,0 +1,119 @@
+"""SpMV auto-tuner.
+
+Analog of ``sf_csr2amb`` / ``AMB::convert_from_csr``'s search
+(``convert_amb.cu:556-600, 758-800, 835-929``): build candidate formats,
+time the actual kernel on each (the ``#define AT`` measured-time objective),
+keep the fastest, optionally fall back to the modeled-footprint objective
+when timing is disabled (the ``#else`` branch, ``convert_amb.cu:785-798``).
+
+Where the reference searches seg_size x block_size(1..20) x launch geometry,
+the TPU search space is format (ELL slabs vs BSR tiles vs raw CSR) x the
+ELL width-binning knobs x BSR tile shape — the knobs that actually move TPU
+performance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsparse_tpu.formats.bsr import BSR
+from nsparse_tpu.formats.csr import CSR
+from nsparse_tpu.formats.ell import ELL
+from nsparse_tpu.ops.spmv import spmv
+from nsparse_tpu.tune.plan import Plan, matrix_fingerprint
+from nsparse_tpu.utils.timing import time_fn
+
+
+def _build(a: CSR, plan: Plan):
+    if plan.format == "ell":
+        return ELL.from_csr(a, min_width=plan.min_width,
+                            max_slabs=plan.max_slabs, sigma=plan.sigma)
+    if plan.format == "bsr":
+        return BSR.from_csr(a, blocksize=plan.blocksize)
+    return a
+
+
+def _footprint(fmt) -> int:
+    """Modeled HBM bytes per SpMV (non-AT objective)."""
+    leaves = jax.tree_util.tree_leaves(fmt)
+    return int(sum(l.size * l.dtype.itemsize for l in leaves))
+
+
+def default_candidates(a: CSR) -> Iterable[Plan]:
+    cands = [
+        Plan(format="csr"),
+        Plan(format="ell", min_width=8, max_slabs=8),
+        Plan(format="ell", min_width=16, max_slabs=6),
+        Plan(format="ell", min_width=8, max_slabs=4),
+    ]
+    # BSR only pays when block fill-in is sane; probe mean degree first.
+    m, n = a.shape
+    if a.nnz / max(m, 1) >= 4:  # skip for ultra-sparse rows
+        for bs in ((8, 128), (8, 256)):
+            cands.append(Plan(format="bsr", blocksize=bs))
+    return cands
+
+
+def autotune_spmv(
+    a: CSR,
+    x: Optional[jax.Array] = None,
+    candidates: Optional[Sequence[Plan]] = None,
+    measure: bool = True,
+    trials: int = 5,
+    max_bytes_ratio: float = 8.0,
+    cache_dir: Optional[str] = None,
+):
+    """Pick the fastest SpMV format for ``a``.
+
+    Returns (format_object, Plan).  ``measure=False`` uses the modeled
+    footprint objective only (the reference's non-AT mode).
+    ``max_bytes_ratio`` prunes candidates whose storage exceeds that multiple
+    of CSR's (protects against pathological BSR fill-in before timing).
+    """
+    chip = jax.devices()[0].device_kind.replace(" ", "_")
+    key = matrix_fingerprint(a)
+    if cache_dir:
+        cached = Plan.load(cache_dir, key, chip)
+        if cached is not None:
+            return _build(a, cached), cached
+
+    if x is None:
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(a.shape[1]),
+                        dtype=a.dtype)
+    csr_bytes = _footprint(a)
+
+    best_fmt, best_plan, best_score = None, None, float("inf")
+    for plan in (candidates or default_candidates(a)):
+        try:
+            fmt = _build(a, plan)
+        except Exception:
+            continue
+        fb = _footprint(fmt)
+        if fb > max_bytes_ratio * csr_bytes:
+            continue
+        plan = dataclasses.replace(plan, memory_bytes=fb, chip=chip,
+                                   matrix_key=key, isPlan=True)
+        if measure:
+            try:
+                f = jax.jit(lambda fmt, x: spmv(fmt, x))
+                ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)
+            except Exception:
+                continue
+            plan = dataclasses.replace(plan, measured_ms=ms)
+            score = ms
+        else:
+            score = float(fb)
+        if score < best_score:
+            best_fmt, best_plan, best_score = fmt, plan, score
+
+    if best_plan is None:  # everything failed -> raw CSR
+        best_fmt, best_plan = a, Plan(format="csr", chip=chip, matrix_key=key,
+                                      isPlan=True)
+    if cache_dir:
+        best_plan.save(cache_dir)
+    return best_fmt, best_plan

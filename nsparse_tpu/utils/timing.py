@@ -1,0 +1,35 @@
+"""Benchmark timing harness.
+
+Analog of the reference's cudaEvent timing loops (``spmv_amb.cu:46-58``,
+``spgemm_hash.cu:40-49``): run ``trials`` iterations, discard ``warmup``,
+report average milliseconds.  ``block_until_ready`` plays the role of
+``cudaDeviceSynchronize``.  Matches the reference's trial counts by default
+(TRI_NUM=101 with 1 warmup for SpMV; SPGEMM_TRI_NUM=11, ``nsparse.h:22-26``)
+— callers pass smaller counts for quick runs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+SPMV_TRIALS = 101      # reference TRI_NUM (nsparse.h:22)
+SPGEMM_TRIALS = 11     # reference SPGEMM_TRI_NUM (nsparse.h:26)
+
+
+def time_fn(fn: Callable[[], object], trials: int = 10, warmup: int = 1) -> float:
+    """Average wall ms per call over ``trials - warmup`` timed runs."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(trials - warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+    return (t1 - t0) * 1e3 / max(trials - warmup, 1)
+
+
+def gflops(flops: float, ms: float) -> float:
+    return flops / (ms * 1e-3) / 1e9

@@ -1,0 +1,101 @@
+"""Distributed layer on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsparse_tpu.io.generate import random_csr, stencil_csr
+from nsparse_tpu.parallel.mesh import make_mesh
+from nsparse_tpu.parallel.partition import partition_rows
+from nsparse_tpu.parallel.spmv import spmv_dist
+from nsparse_tpu.parallel.spgemm import (
+    gather_partitioned,
+    rap_dist,
+    spgemm_dist,
+    spgemm_plan_dist,
+    spgemm_numeric_dist,
+)
+from nsparse_tpu.utils.checking import check_spgemm_answer, spmv_oracle, spgemm_oracle
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device mesh"
+)
+
+
+def test_partition_roundtrip():
+    a = random_csr(100, 80, 0.07, seed=1)
+    part = partition_rows(a, 8)
+    back = gather_partitioned(
+        type(part)(rpt=part.rpt, col=part.col, val=part.val,
+                   shape=part.shape, m_loc=part.m_loc, nnz=part.nnz)
+    )
+    np.testing.assert_allclose(np.asarray(back.to_dense()),
+                               np.asarray(a.to_dense()), rtol=1e-12)
+
+
+def test_spmv_dist():
+    mesh = make_mesh(8)
+    a = random_csr(200, 120, 0.05, seed=2)
+    part = partition_rows(a, 8)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(120))
+    y = spmv_dist(part, x, mesh)
+    np.testing.assert_allclose(np.asarray(y), spmv_oracle(a, x), rtol=1e-10)
+
+
+def test_spmv_dist_uneven_rows():
+    mesh = make_mesh(8)
+    a = stencil_csr(13, 5)  # 65 rows, not divisible by 8
+    part = partition_rows(a, 8)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(65))
+    y = spmv_dist(part, x, mesh)
+    np.testing.assert_allclose(np.asarray(y), spmv_oracle(a, x), rtol=1e-10)
+
+
+def test_spgemm_dist():
+    mesh = make_mesh(8)
+    a = random_csr(96, 96, 0.06, seed=5)
+    part = partition_rows(a, 8)
+    c = spgemm_dist(part, a, mesh)
+    got = gather_partitioned(c)
+    assert check_spgemm_answer(got, spgemm_oracle(a, a), verbose=True)
+
+
+def test_spgemm_dist_plan_reuse():
+    mesh = make_mesh(8)
+    a = random_csr(64, 64, 0.08, seed=6)
+    part = partition_rows(a, 8)
+    plan = spgemm_plan_dist(part, a)
+
+    # new values, same pattern
+    rng = np.random.default_rng(7)
+    new_val = np.asarray(part.val).copy()
+    mask = new_val != 0
+    new_val[mask] = rng.standard_normal(mask.sum())
+    part2 = type(part)(rpt=part.rpt, col=part.col, val=jnp.asarray(new_val),
+                       shape=part.shape, m_loc=part.m_loc, nnz=part.nnz)
+    a2 = gather_partitioned(part2)
+
+    c = spgemm_numeric_dist(plan, part2, a2, mesh)
+    got = gather_partitioned(c)
+    assert check_spgemm_answer(got, spgemm_oracle(a2, a2), verbose=True)
+
+
+def test_rap_dist():
+    mesh = make_mesh(8)
+    n, nc = 64, 24
+    a = stencil_csr(8, 8)
+    rng = np.random.default_rng(8)
+    import scipy.sparse as sp
+
+    p_dense = np.zeros((n, nc))
+    p_dense[np.arange(n), rng.integers(0, nc, n)] = 1.0
+    from nsparse_tpu.formats.csr import CSR
+
+    p = CSR.from_scipy(sp.csr_matrix(p_dense))
+    r = CSR.from_scipy(sp.csr_matrix(p_dense.T))
+    got = rap_dist(r, a, p, mesh)
+    ref = (r.to_scipy() @ a.to_scipy() @ p.to_scipy()).tocsr()
+    ref.sum_duplicates(); ref.sort_indices()
+    assert check_spgemm_answer(got, ref, verbose=True)

@@ -1,0 +1,96 @@
+"""SpMV vs the scipy oracle (the reference's ans_check harness role)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from nsparse_tpu.formats.csr import CSR
+from nsparse_tpu.formats.ell import ELL
+from nsparse_tpu.formats.bsr import BSR
+from nsparse_tpu.io.generate import random_csr, rmat_csr, stencil_csr
+from nsparse_tpu.io.matrix_market import read_mtx
+from nsparse_tpu.ops.spmv import spmv, spmv_csr, spmv_ell, spmv_bsr
+from nsparse_tpu.ops.kernels.spmv_pallas import spmv_bsr_pallas
+from nsparse_tpu.utils.checking import ans_check, spmv_oracle
+
+
+def _x(n, dtype, seed=1):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(n).astype(dtype)
+    )
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_spmv_csr_fixture(fixture_mtx, dtype):
+    a = read_mtx(fixture_mtx, dtype=dtype)
+    x = _x(5, dtype)
+    y = spmv_csr(a, x)
+    ok, nf = ans_check(y, spmv_oracle(a, x), dtype=dtype)
+    assert ok, f"{nf} mismatches"
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: random_csr(200, 150, 0.05, seed=2),
+    lambda: stencil_csr(16, 16),
+    lambda: rmat_csr(8, edge_factor=4, seed=3),
+])
+def test_spmv_all_formats(maker):
+    a = maker()
+    x = _x(a.shape[1], np.float64)
+    y_ref = spmv_oracle(a, x)
+
+    np.testing.assert_allclose(np.asarray(spmv_csr(a, x)), y_ref, rtol=1e-10)
+    e = ELL.from_csr(a)
+    np.testing.assert_allclose(np.asarray(spmv_ell(e, x)), y_ref, rtol=1e-10)
+    b = BSR.from_csr(a, blocksize=(8, 128))
+    np.testing.assert_allclose(np.asarray(spmv_bsr(b, x)), y_ref, rtol=1e-10)
+
+
+def test_spmv_csr_padded_capacity():
+    a = random_csr(50, 50, 0.1, seed=4, pad_to=1000)
+    x = _x(50, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(spmv_csr(a, x)), spmv_oracle(a, x), rtol=1e-10
+    )
+
+
+def test_spmv_empty_rows_and_cols():
+    m = np.zeros((30, 30))
+    m[4, 7] = 3.0
+    a = CSR.from_scipy(sp.csr_matrix(m))
+    x = _x(30, np.float64)
+    y = np.asarray(spmv_csr(a, x))
+    np.testing.assert_allclose(y, m @ np.asarray(x), rtol=1e-12)
+    e = ELL.from_csr(a)
+    np.testing.assert_allclose(np.asarray(spmv_ell(e, x)), y, rtol=1e-12)
+
+
+def test_spmv_jit_under_vmap_composes():
+    a = random_csr(64, 64, 0.1, seed=6)
+    xs = jnp.asarray(np.random.default_rng(7).standard_normal((4, 64)))
+    ys = jax.vmap(lambda x: spmv_csr(a, x))(xs)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(ys[i]), spmv_oracle(a, xs[i]), rtol=1e-10
+        )
+
+
+def test_spmv_bsr_pallas_interpret():
+    """Pallas kernel correctness via interpreter mode (no TPU needed)."""
+    a = stencil_csr(16, 8, dtype=np.float32)
+    b = BSR.from_csr(a, blocksize=(8, 128))
+    x = _x(a.shape[1], np.float32)
+    y = spmv_bsr_pallas(b, x, interpret=True)
+    ok, nf = ans_check(np.asarray(y), spmv_oracle(a, x), dtype=np.float32)
+    assert ok, f"{nf} mismatches"
+
+
+def test_spmv_dispatch():
+    a = random_csr(32, 32, 0.2, seed=8)
+    x = _x(32, np.float64)
+    for fmt in (a, ELL.from_csr(a), BSR.from_csr(a, blocksize=(8, 128))):
+        y = spmv(fmt, x, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(y), spmv_oracle(a, x),
+                                   rtol=1e-10)
