@@ -77,13 +77,17 @@ class CSR:
         pv = np.zeros(cap, dtype=val.dtype)
         pc[:nnz] = col[:nnz]
         pv[:nnz] = val[:nnz]
-        return cls(
+        out = cls(
             rpt=jnp.asarray(rpt),
             col=jnp.asarray(pc),
             val=jnp.asarray(pv),
             shape=(int(shape[0]), int(shape[1])),
             nnz=nnz,
         )
+        # cache the host copies: conversions / planners read them without a
+        # device->host transfer (which rides a slow tunnel under axon)
+        object.__setattr__(out, "_host", (rpt, pc, pv))
+        return out
 
     @classmethod
     def from_dense(cls, dense, pad_to: int | None = None) -> "CSR":
@@ -135,6 +139,25 @@ class CSR:
         rows = jnp.searchsorted(self.rpt, idx, side="right").astype(jnp.int32) - 1
         return jnp.where(idx < self.nnz, rows, self.shape[0])
 
+    def host_arrays(self):
+        """(rpt, col, val) as numpy — cached when built from host data.
+
+        Host-side planners/converters go through this so matrices built on
+        the host never round-trip through the device (the analog concern of
+        the reference keeping a CPU copy alongside the device copy,
+        ``sfCSR``'s twin pointer sets, ``nsparse.h:62-75``).
+        """
+        cached = getattr(self, "_host", None)
+        if cached is not None:
+            return cached
+        host = (
+            np.asarray(self.rpt),
+            np.asarray(self.col),
+            np.asarray(self.val),
+        )
+        object.__setattr__(self, "_host", host)
+        return host
+
     # -- conversion / host interop ----------------------------------------
 
     def with_capacity(self, cap: int) -> "CSR":
@@ -166,13 +189,9 @@ class CSR:
         import scipy.sparse as sp
 
         nnz = self.nnz
+        rpt, col, val = self.host_arrays()
         return sp.csr_matrix(
-            (
-                np.asarray(self.val)[:nnz],
-                np.asarray(self.col)[:nnz],
-                np.asarray(self.rpt),
-            ),
-            shape=self.shape,
+            (val[:nnz], col[:nnz], rpt), shape=self.shape
         )
 
     def transpose(self) -> "CSR":

@@ -91,9 +91,9 @@ class ELL:
             SIGMA=32768 in the reference (``nsparse.h:30``).
         """
         m, n = a.shape
-        rpt = np.asarray(a.rpt)
-        col = np.asarray(a.col)[: a.nnz]
-        val = np.asarray(a.val)[: a.nnz]
+        rpt, col, val = a.host_arrays()
+        col = col[: a.nnz]
+        val = val[: a.nnz]
         deg = np.diff(rpt)
 
         # sigma-windowed descending sort by row length
@@ -119,32 +119,33 @@ class ELL:
             levels = levels[len(levels) - max_slabs:]
         levels = sorted(levels)
 
-        def level_of(d):
-            for li, w in enumerate(levels):
-                if d <= w:
-                    return li
-            return len(levels) - 1
-
-        slab_rows = [[] for _ in levels]
-        for r in order:
-            slab_rows[level_of(deg[r])].append(r)
+        # vectorized level assignment: smallest level with w >= deg
+        lev_arr = np.asarray(levels, dtype=np.int64)
+        level = np.searchsorted(lev_arr, deg, side="left")
+        level = np.minimum(level, len(levels) - 1)
+        if val.size == 0:  # fully empty matrix: keep gathers in-bounds
+            val = np.zeros(1, dtype=val.dtype)
+            col = np.zeros(1, dtype=col.dtype)
 
         vals, colss, widths = [], [], []
         pos = np.zeros(m, dtype=np.int32)
         offset = 0
+        lev_of_order = level[order]
         for li, w in enumerate(levels):
-            rows = slab_rows[li]
-            if not rows:
+            rows = order[lev_of_order == li]
+            if rows.size == 0:
                 continue
-            rpad = _round_up(len(rows), LANES)
+            rpad = _round_up(rows.size, LANES)
+            d = np.minimum(deg[rows], w)
+            # (w, R) gather indices into the flat nnz arrays
+            idx = rpt[rows][None, :] + np.arange(w)[:, None]
+            mask = np.arange(w)[:, None] < d[None, :]
+            idx = np.where(mask, idx, 0)
             sval = np.zeros((w, rpad), dtype=val.dtype)
             scol = np.zeros((w, rpad), dtype=np.int32)
-            for j, r in enumerate(rows):
-                d = int(deg[r])
-                s, e = rpt[r], rpt[r] + min(d, w)
-                sval[: e - s, j] = val[s:e]
-                scol[: e - s, j] = col[s:e]
-                pos[r] = offset + j
+            sval[:, : rows.size] = np.where(mask, val[idx], 0)
+            scol[:, : rows.size] = np.where(mask, col[idx], 0)
+            pos[rows] = offset + np.arange(rows.size, dtype=np.int32)
             vals.append(jnp.asarray(sval))
             colss.append(jnp.asarray(scol))
             widths.append(w)

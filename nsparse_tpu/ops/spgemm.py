@@ -35,6 +35,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nsparse_tpu.formats.csr import CSR
 
@@ -148,7 +149,57 @@ _expand_sort_jit = jax.jit(_expand_sort, static_argnums=2)
 
 
 def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
-    """Symbolic phase: build the reusable plan (two host syncs: P and nnz_C)."""
+    """Symbolic phase: build the reusable plan on the host.
+
+    Host-side numpy (optionally the C++ planner, see ``nsparse_tpu.native``):
+    planning is one-time precompute per sparsity pattern, exactly like the
+    reference's symbolic phase whose result must reach the host anyway to
+    size C (``kernel_spgemm_hash_d.cu:1183-1184``).  The expansion is
+    segmented-sort-by-column *within* rows only — expansion order is already
+    row-major, so the key is the product column alone, sorted stably.
+    """
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+    m, n = a.shape[0], b.shape[1]
+
+    rpt_a, col_a, _ = a.host_arrays()
+    rpt_b, col_b, _ = b.host_arrays()
+    nnz_a = a.nnz
+    col_a = col_a[:nnz_a].astype(np.int64)
+    deg_a = np.diff(rpt_a).astype(np.int64)
+    deg_b = np.diff(rpt_b).astype(np.int64)
+
+    from nsparse_tpu.native import spgemm_plan_host
+
+    (apos, bpos, out_pos, c_rpt, c_col, p_total, c_nnz) = spgemm_plan_host(
+        rpt_a, col_a, deg_a, rpt_b, col_b, deg_b, m, n, nnz_a
+    )
+
+    p_pad = _round_up(p_total, LANES)
+    c_cap = _round_up(c_nnz, LANES)
+
+    def _pad(x, length, fill):
+        out = np.full(length, fill, dtype=np.int32)
+        out[: x.size] = x
+        return out
+
+    return SpgemmPlan(
+        apos=jnp.asarray(_pad(apos, p_pad, 0)),
+        bpos=jnp.asarray(_pad(bpos, p_pad, 0)),
+        out_pos=jnp.asarray(_pad(out_pos, p_pad, c_cap)),
+        c_rpt=jnp.asarray(c_rpt),
+        c_col=jnp.asarray(_pad(c_col, c_cap, 0)),
+        shape=(m, n),
+        c_nnz=c_nnz,
+        n_products=p_total,
+    )
+
+
+def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
+    """Symbolic phase fully on device (``jax.lax.sort`` ESC) — same result
+    as :func:`spgemm_plan`; two device->host size syncs, everything else
+    stays on the accelerator.  Used when the matrix already lives on device
+    (e.g. produced by a previous device-side SpGEMM)."""
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
     m, n = a.shape[0], b.shape[1]
