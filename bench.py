@@ -2,7 +2,9 @@
 
 Runs the two headline kernels on the real chip (SpMV on a banded stencil
 matrix, SpGEMM C=A^2 numeric phase on a skewed R-MAT graph), verifies both
-against scipy, and reports SpGEMM GFLOPS as the primary metric with
+against scipy ON DEVICE (the oracle is uploaded; device->host transfers on
+the tunnel-attached chip cost minutes for the first byte), and reports
+SpGEMM GFLOPS as the primary metric with
 vs_baseline = achieved / (0.70 * HBM roofline) — the BASELINE.md target
 (>=70% of roofline) scores 1.0.
 """
@@ -11,58 +13,92 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
-import numpy as np
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
 
 
 def main():
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from nsparse_tpu.formats.ell import ELL
+    from nsparse_tpu.formats.dia import DIA
     from nsparse_tpu.io.generate import rmat_csr, stencil_csr
-    from nsparse_tpu.ops.spmv import spmv_ell
+    from nsparse_tpu.ops.spmv import spmv_dia
     from nsparse_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
-    from nsparse_tpu.utils.checking import ans_check, check_spgemm_answer, \
-        spgemm_oracle, spmv_oracle
-    from nsparse_tpu.utils.roofline import chip_specs, \
-        spgemm_roofline_gflops, spmv_roofline_gflops
+    from nsparse_tpu.utils.checking import (
+        ans_check_device,
+        check_spgemm_answer_device,
+        spgemm_abs_oracle,
+        spgemm_oracle,
+        spmv_abs_oracle,
+        spmv_oracle,
+    )
+    from nsparse_tpu.utils.roofline import (
+        chip_specs,
+        spgemm_roofline_gflops,
+        spmv_roofline_gflops,
+    )
     from nsparse_tpu.utils.timing import gflops, time_fn
 
     dtype = np.float32
     spec = chip_specs()
     extras = {"device": jax.devices()[0].device_kind, "chip": spec.name}
 
+    # Pay the one-time device->host handshake up front (minutes on the
+    # tunnel-attached chip); every later pull is then fast.
+    log("handshake: first device->host pull")
+    float(jnp.sum(jnp.zeros(8)))
+    log("handshake done")
+
     # --- SpMV on a banded stencil (cant/pwtk structural class) ------------
+    # The tuner picks DIA for this structural class (pure shifted FMAs, no
+    # gather) — used directly here to keep the bench lean.
     a = stencil_csr(512, 512, dtype=dtype)
-    ell = ELL.from_csr(a)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(a.shape[1]),
-                    dtype=dtype)
-    f = jax.jit(spmv_ell)
-    ms = time_fn(lambda: f(ell, x), trials=21, warmup=1)
+    dia = DIA.from_csr(a)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.shape[1]), dtype=dtype
+    )
+    f = jax.jit(spmv_dia)
+    log(f"spmv: M={a.shape[0]} nnz={a.nnz}, compiling + 101 trials")
+    ms = time_fn(lambda: f(dia, x), trials=101, warmup=1)
     spmv_gf = gflops(2.0 * a.nnz, ms)
-    spmv_roof = spmv_roofline_gflops(a.nnz, *a.shape, val_bytes=4,
-                                     padded_nnz=ell.padded_nnz, spec=spec)
-    ok_spmv, _ = ans_check(np.asarray(f(ell, x)), spmv_oracle(a, x),
-                           dtype=dtype)
+    spmv_roof = spmv_roofline_gflops(
+        a.nnz, *a.shape, val_bytes=4, padded_nnz=dia.padded_nnz, spec=spec
+    )
+    ok_spmv, _ = ans_check_device(
+        f(dia, x), spmv_oracle(a, x), dtype=dtype, scale=spmv_abs_oracle(a, x)
+    )
     extras.update(
         spmv_gflops=round(spmv_gf, 2),
         spmv_ms=round(ms, 4),
         spmv_roofline_frac=round(spmv_gf / spmv_roof, 3),
         spmv_ok=bool(ok_spmv),
     )
+    log(f"spmv: {spmv_gf:.1f} GFLOPS ({spmv_gf / spmv_roof:.0%} roofline) ok={ok_spmv}")
 
     # --- SpGEMM C = A^2 on a skewed graph ---------------------------------
     g = rmat_csr(14, edge_factor=8, dtype=dtype, seed=1)
+    log(f"spgemm: planning M={g.shape[0]} nnz={g.nnz}")
     plan = spgemm_plan(g, g)
     fnum = jax.jit(spgemm_numeric)
+    log(f"spgemm: P={plan.n_products} nnzC={plan.c_nnz}, compiling + 11 trials")
     ms2 = time_fn(lambda: fnum(plan, g, g), trials=11, warmup=1)
     spgemm_gf = gflops(plan.flops, ms2)
-    spgemm_roof = spgemm_roofline_gflops(g.nnz, g.nnz, plan.c_nnz,
-                                         plan.n_products, val_bytes=4,
-                                         spec=spec)
+    spgemm_roof = spgemm_roofline_gflops(
+        g.nnz, g.nnz, plan.c_nnz, plan.n_products, val_bytes=4, spec=spec
+    )
     c = fnum(plan, g, g)
-    ok_gemm = check_spgemm_answer(c, spgemm_oracle(g, g))
+    log("spgemm: verifying on device")
+    ok_gemm = check_spgemm_answer_device(
+        c, spgemm_oracle(g, g), abs_ref=spgemm_abs_oracle(g, g)
+    )
     extras.update(
         spgemm_gflops=round(spgemm_gf, 2),
         spgemm_numeric_ms=round(ms2, 4),
@@ -71,6 +107,7 @@ def main():
         spgemm_roofline_frac=round(spgemm_gf / spgemm_roof, 3),
         spgemm_ok=bool(ok_gemm),
     )
+    log(f"spgemm: {spgemm_gf:.1f} GFLOPS ({spgemm_gf / spgemm_roof:.0%} roofline) ok={ok_gemm}")
 
     target = 0.70 * spgemm_roof
     out = {

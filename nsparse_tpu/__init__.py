@@ -22,6 +22,7 @@ from nsparse_tpu.formats.csr import CSR
 from nsparse_tpu.formats.coo import COO
 from nsparse_tpu.formats.ell import ELL
 from nsparse_tpu.formats.bsr import BSR
+from nsparse_tpu.formats.dia import DIA
 from nsparse_tpu.io.matrix_market import read_mtx, write_mtx
 from nsparse_tpu.ops.spmv import spmv, spmv_csr, spmv_ell
 from nsparse_tpu.ops.spgemm import (

@@ -46,11 +46,13 @@ def cmd_spmv(args):
     import jax.numpy as jnp
 
     from nsparse_tpu.formats.bsr import BSR
+    from nsparse_tpu.formats.dia import DIA
     from nsparse_tpu.formats.ell import ELL
     from nsparse_tpu.ops.spmv import spmv
     from nsparse_tpu.tune.autotune import autotune_spmv
     from nsparse_tpu.tune.plan import Plan
-    from nsparse_tpu.utils.checking import ans_check, spmv_oracle
+    from nsparse_tpu.utils.checking import (ans_check_device, spmv_abs_oracle,
+                                            spmv_oracle)
     from nsparse_tpu.utils.roofline import chip_specs, spmv_roofline_gflops
     from nsparse_tpu.utils.timing import time_fn, gflops
 
@@ -73,6 +75,8 @@ def cmd_spmv(args):
             fmt = ELL.from_csr(a)
         elif args.format == "bsr":
             fmt = BSR.from_csr(a)
+        elif args.format == "dia":
+            fmt = DIA.from_csr(a)
         else:
             fmt = a
     conv_ms = (time.perf_counter() - t0) * 1e3
@@ -88,8 +92,10 @@ def cmd_spmv(args):
     print(f"SpMV [{plan.format}]: {ms:.4f} ms  {gf:.2f} GFLOPS  "
           f"({100 * gf / roof:.1f}% of {chip_specs().name} roofline)")
 
-    y = np.asarray(f(fmt, x))
-    ok, nf = ans_check(y, spmv_oracle(a, x), dtype=dtype, verbose=True)
+    # verify on device: D->H can be orders slower than H->D behind a tunnel
+    ok, nf = ans_check_device(
+        f(fmt, x), spmv_oracle(a, x), dtype=dtype, scale=spmv_abs_oracle(a, x)
+    )
     print("pass" if ok else f"FAIL ({nf} mismatches)")
     return 0 if ok else 1
 
@@ -126,7 +132,8 @@ def cmd_spgemm(args):
     import jax
 
     from nsparse_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
-    from nsparse_tpu.utils.checking import check_spgemm_answer, spgemm_oracle
+    from nsparse_tpu.utils.checking import (check_spgemm_answer_device,
+                                            spgemm_abs_oracle, spgemm_oracle)
     from nsparse_tpu.utils.roofline import chip_specs, spgemm_roofline_gflops
     from nsparse_tpu.utils.timing import time_fn, gflops
 
@@ -154,7 +161,9 @@ def cmd_spgemm(args):
           f"({100 * gf / roof:.1f}% of {chip_specs().name} roofline)")
 
     c = f(plan, a, a)
-    ok = check_spgemm_answer(c, spgemm_oracle(a, a), verbose=True)
+    ok = check_spgemm_answer_device(
+        c, spgemm_oracle(a, a), abs_ref=spgemm_abs_oracle(a, a)
+    )
     print("pass" if ok else "FAIL")
     return 0 if ok else 1
 
@@ -197,7 +206,7 @@ def main(argv=None):
 
     sp = sub.add_parser("spmv")
     sp.add_argument("matrix")
-    sp.add_argument("--format", choices=["auto", "ell", "bsr", "csr"],
+    sp.add_argument("--format", choices=["auto", "dia", "ell", "bsr", "csr"],
                     default="auto")
     sp.add_argument("--trials", type=int, default=101)
     sp.add_argument("--tune-trials", type=int, default=5)

@@ -81,6 +81,12 @@ class SpgemmPlan:
       apos: (P_pad,) gather index into A's padded nnz arrays, sorted order.
       bpos: (P_pad,) gather index into B's padded nnz arrays, sorted order.
       out_pos: (P_pad,) output slot per product; invalid slots -> c_cap.
+      ends: (c_cap,) index of the LAST product of each output entry (pad
+        slots point at P_pad - 1; their extracted value is masked off).
+      av_gp: windowed-gather routing for ``a.val[apos]`` (or None when the
+        plan was built on device).
+      ends_gp: windowed-gather routing for the segment-end extraction (or
+        None when the plan was built on device).
       c_rpt: (M+1,) output row pointers.
       c_col: (c_cap,) output column indices (sorted within rows).
       shape: static (M, N) of C.
@@ -91,6 +97,9 @@ class SpgemmPlan:
     apos: jax.Array
     bpos: jax.Array
     out_pos: jax.Array
+    ends: jax.Array
+    av_gp: object  # Optional[FlatGatherPlan]
+    ends_gp: object  # Optional[FlatGatherPlan]
     c_rpt: jax.Array
     c_col: jax.Array
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
@@ -183,10 +192,28 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
         out[: x.size] = x
         return out
 
+    # last product of each output entry: starts are where out_pos changes
+    if c_nnz:
+        starts = np.flatnonzero(
+            np.diff(np.concatenate([[-1], out_pos])) != 0
+        )
+        ends = np.concatenate(
+            [starts[1:] - 1, [p_total - 1]]
+        ).astype(np.int32)
+    else:
+        ends = np.zeros(0, dtype=np.int32)
+
+    from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
+
+    apos_p = _pad(apos, p_pad, int(apos[-1]) if apos.size else 0)
+    ends_p = _pad(ends, c_cap, p_pad - 1)
     return SpgemmPlan(
-        apos=jnp.asarray(_pad(apos, p_pad, 0)),
+        apos=jnp.asarray(apos_p),
         bpos=jnp.asarray(_pad(bpos, p_pad, 0)),
         out_pos=jnp.asarray(_pad(out_pos, p_pad, c_cap)),
+        ends=jnp.asarray(ends_p),
+        av_gp=build_flat_gather_plan(apos_p, window=256),
+        ends_gp=build_flat_gather_plan(ends_p, window=512),
         c_rpt=jnp.asarray(c_rpt),
         c_col=jnp.asarray(_pad(c_col, c_cap, 0)),
         shape=(m, n),
@@ -227,11 +254,21 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
     c_rpt = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_counts).astype(jnp.int32)]
     )
+    ends = (
+        jnp.searchsorted(
+            out_pos, jnp.arange(c_cap, dtype=out_pos.dtype), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    ends = jnp.clip(ends, 0, p_pad - 1)
 
     return SpgemmPlan(
         apos=apos_s,
         bpos=bpos_s,
         out_pos=out_pos,
+        ends=ends,
+        av_gp=None,
+        ends_gp=None,
         c_rpt=c_rpt,
         c_col=c_col,
         shape=(m, n),
@@ -240,9 +277,74 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
     )
 
 
+def _segmented_inclusive_scan(v: jax.Array, f: jax.Array) -> jax.Array:
+    """Hillis-Steele segmented inclusive sum scan (flags mark segment
+    starts).  Written as ~log2(P) explicit shift+select steps: XLA compiles
+    this trivially, whereas ``jax.lax.associative_scan`` on multi-operand
+    carries degenerates at tens-of-millions of elements.  Within-segment
+    error matches a tree reduction (no cross-segment cancellation, unlike
+    a global cumsum + difference)."""
+    n = int(v.shape[0])
+    d = 1
+    while d < n:
+        vs = jnp.concatenate([jnp.zeros((d,), v.dtype), v[:-d]])
+        fs = jnp.concatenate([jnp.ones((d,), bool), f[:-d]])
+        v = v + jnp.where(f, jnp.zeros_like(v), vs)
+        f = f | fs
+        d *= 2
+    return v
+
+
 def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
-    """Numeric phase: gather + multiply + sorted segment-sum.  Pure jit path;
-    the ``SpGEMM_Hash_Numeric`` analog (same pattern, new values)."""
+    """Numeric phase (the ``SpGEMM_Hash_Numeric`` analog: same pattern, new
+    values).  Pure jit path, TPU-tuned:
+
+    - ``a.val`` expansion rides the windowed roll-scan gather (products are
+      row-sorted, so apos stays inside each row's slice — small windows);
+    - ``b.val`` expansion is XLA's gather (power-law columns defeat
+      windowing; measured fastest general choice);
+    - accumulation is a segmented inclusive scan (``associative_scan``)
+      + extraction at segment ends — scan replaces the scatter-add that
+      ``segment_sum`` lowers to (TPU has no fast scatter).  The segmented
+      scan also avoids the catastrophic cancellation a plain cumsum-diff
+      would hit at fp32.
+    """
+    bv = b.val[plan.bpos]
+    if plan.av_gp is not None:
+        from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+        prod = flat_gather(plan.av_gp, a.val, other=bv)
+    else:
+        prod = a.val[plan.apos] * bv
+
+    flags = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            plan.out_pos[1:] != plan.out_pos[:-1],
+        ]
+    )
+    ss = _segmented_inclusive_scan(prod, flags)
+    if plan.ends_gp is not None:
+        from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+        c_val = flat_gather(plan.ends_gp, ss)[: plan.c_capacity]
+    else:
+        c_val = ss[plan.ends]
+    c_val = jnp.where(
+        jnp.arange(plan.c_capacity) < plan.c_nnz, c_val, 0
+    ).astype(a.val.dtype)
+    return CSR(
+        rpt=plan.c_rpt,
+        col=plan.c_col,
+        val=c_val,
+        shape=plan.shape,
+        nnz=plan.c_nnz,
+    )
+
+
+def spgemm_numeric_segsum(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
+    """Reference-style numeric phase (plain gathers + sorted segment_sum);
+    kept as the semantics oracle and CPU fast path."""
     prod = a.val[plan.apos] * b.val[plan.bpos]
     c_val = jax.ops.segment_sum(
         prod,

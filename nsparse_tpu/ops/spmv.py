@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from nsparse_tpu.formats.bsr import BSR
 from nsparse_tpu.formats.csr import CSR
+from nsparse_tpu.formats.dia import DIA
 from nsparse_tpu.formats.ell import ELL
 
 
@@ -47,6 +48,28 @@ def spmv_ell(a: ELL, x: jax.Array) -> jax.Array:
         outs.append(jnp.sum(val * x[col], axis=0))
     y_all = jnp.concatenate(outs, axis=0)
     return y_all[a.pos]
+
+
+def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
+    """y = A @ x for DIA — shifted elementwise FMAs, zero gathers.
+
+    y[i] = sum_d vals[d, i] * x[i + off_d]: each term is a contiguous
+    (statically shifted) slice of x, so the whole SpMV is sequential HBM
+    traffic + VPU multiplies — the speed-of-light path for banded matrices
+    (the structural class AMB's segmentation targets).
+    """
+    m, n = a.shape
+    mp = a.vals.shape[1]
+    offs = a.offsets
+    lo = min(0, min(offs, default=0))
+    hi = max(0, max(offs, default=0))
+    # pad x so every shifted read is in range: index i + off + (-lo)
+    xp = jnp.pad(x, (-lo, hi + max(mp - m, 0) + max(m - n, 0)))
+    y = jnp.zeros(mp, dtype=a.vals.dtype)
+    for d, off in enumerate(offs):
+        xs = jax.lax.dynamic_slice(xp, ((-lo) + off,), (mp,))
+        y = y + a.vals[d] * xs
+    return y[:m]
 
 
 def spmv_bsr(a: BSR, x: jax.Array) -> jax.Array:
@@ -74,6 +97,8 @@ def spmv(a, x: jax.Array, use_pallas: bool | None = None) -> jax.Array:
     """Format-dispatched SpMV (the ``sf_spmv_amb`` / ``AMB::spmv`` analog)."""
     if isinstance(a, CSR):
         return spmv_csr(a, x)
+    if isinstance(a, DIA):
+        return spmv_dia(a, x)
     if isinstance(a, ELL):
         return spmv_ell(a, x)
     if isinstance(a, BSR):

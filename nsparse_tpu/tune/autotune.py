@@ -35,6 +35,10 @@ def _build(a: CSR, plan: Plan):
                             max_slabs=plan.max_slabs, sigma=plan.sigma)
     if plan.format == "bsr":
         return BSR.from_csr(a, blocksize=plan.blocksize)
+    if plan.format == "dia":
+        from nsparse_tpu.formats.dia import DIA
+
+        return DIA.from_csr(a)
     return a
 
 
@@ -46,6 +50,7 @@ def _footprint(fmt) -> int:
 
 def default_candidates(a: CSR) -> Iterable[Plan]:
     cands = [
+        Plan(format="dia"),  # _build raises for non-diagonal matrices
         Plan(format="csr"),
         Plan(format="ell", min_width=8, max_slabs=8),
         Plan(format="ell", min_width=16, max_slabs=6),

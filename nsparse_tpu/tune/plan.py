@@ -23,7 +23,7 @@ import numpy as np
 class Plan:
     """SpMV format/tuning decision.
 
-    format: "ell", "bsr", or "csr".
+    format: "dia", "ell", "bsr", or "csr".
     min_width / max_slabs: ELL width-binning params (AMB seg/block analog).
     blocksize: BSR tile shape.
     measured_ms: tuner's best time (the ``min_msec`` analog, Plan.hpp).
