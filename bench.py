@@ -45,7 +45,7 @@ def main():
         spgemm_roofline_gflops,
         spmv_roofline_gflops,
     )
-    from nsparse_tpu.utils.timing import gflops, time_fn
+    from nsparse_tpu.utils.timing import gflops, time_chained, time_fn
 
     dtype = np.float32
     spec = chip_specs()
@@ -66,8 +66,12 @@ def main():
         np.random.default_rng(0).standard_normal(a.shape[1]), dtype=dtype
     )
     f = jax.jit(spmv_dia)
-    log(f"spmv: M={a.shape[0]} nnz={a.nnz}, compiling + 101 trials")
-    ms = time_fn(lambda: f(dia, x), trials=101, warmup=1)
+    log(f"spmv: M={a.shape[0]} nnz={a.nnz}, compiling + 100 chained trials")
+    # chain iterations on device: per-dispatch latency on a tunnel-attached
+    # chip is milliseconds and would swamp a ~0.2 ms kernel
+    ms = time_chained(
+        lambda c, i: spmv_dia(dia, c) * 1e-3 + x, x, iters=50, reps=2
+    )
     spmv_gf = gflops(2.0 * a.nnz, ms)
     spmv_roof = spmv_roofline_gflops(
         a.nnz, *a.shape, val_bytes=4, padded_nnz=dia.padded_nnz, spec=spec
@@ -90,6 +94,7 @@ def main():
     fnum = jax.jit(spgemm_numeric)
     log(f"spgemm: P={plan.n_products} nnzC={plan.c_nnz}, compiling + 11 trials")
     ms2 = time_fn(lambda: fnum(plan, g, g), trials=11, warmup=1)
+    # dispatch latency is negligible at this kernel size; keep plain trials
     spgemm_gf = gflops(plan.flops, ms2)
     spgemm_roof = spgemm_roofline_gflops(
         g.nnz, g.nnz, plan.c_nnz, plan.n_products, val_bytes=4, spec=spec

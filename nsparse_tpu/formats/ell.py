@@ -58,6 +58,8 @@ class ELL:
     vals: Tuple[jax.Array, ...]
     cols: Tuple[jax.Array, ...]
     pos: jax.Array
+    cols_gp: Tuple[object, ...]  # per-slab FlatGatherPlan for x[col]
+    pos_gp: object  # FlatGatherPlan for the output permutation (or None)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     widths: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -78,7 +80,8 @@ class ELL:
         a: CSR,
         min_width: int = SUBLANES,
         max_slabs: int = 8,
-        sigma: int | None = None,
+        sigma: int | None = 1024,
+        window: int = 1024,
     ) -> "ELL":
         """Host-side conversion (the ``sf_csr2amb`` analog, minus the timer
         search — see ``nsparse_tpu.tune.autotune`` for that).
@@ -88,7 +91,10 @@ class ELL:
             below 8 free, so 8 is the natural floor.
           max_slabs: cap on number of width classes (guards compile time).
           sigma: sort window; ``None`` sorts globally.  Matches the role of
-            SIGMA=32768 in the reference (``nsparse.h:30``).
+            SIGMA=32768 in the reference (``nsparse.h:30``) — and here it
+            additionally bounds the output-permutation distance so the final
+            gather stays window-routable on TPU.
+          window: roll-scan window width for the gather routing.
         """
         m, n = a.shape
         rpt, col, val = a.host_arrays()
@@ -96,9 +102,13 @@ class ELL:
         val = val[: a.nnz]
         deg = np.diff(rpt)
 
-        # sigma-windowed descending sort by row length
+        # sigma-windowed descending sort by row length (sigma=0: no sort —
+        # preserves the row order, keeping banded matrices' quasi-diagonal
+        # access affine for the banded gather class)
         order = np.empty(m, dtype=np.int64)
-        if sigma is None or sigma >= m:
+        if sigma == 0:
+            order = np.arange(m, dtype=np.int64)
+        elif sigma is None or sigma >= m:
             order = np.argsort(-deg, kind="stable")
         else:
             for s in range(0, m, sigma):
@@ -127,7 +137,7 @@ class ELL:
             val = np.zeros(1, dtype=val.dtype)
             col = np.zeros(1, dtype=col.dtype)
 
-        vals, colss, widths = [], [], []
+        vals, colss, widths, colss_np = [], [], [], []
         pos = np.zeros(m, dtype=np.int32)
         offset = 0
         lev_of_order = level[order]
@@ -141,25 +151,46 @@ class ELL:
             idx = rpt[rows][None, :] + np.arange(w)[:, None]
             mask = np.arange(w)[:, None] < d[None, :]
             idx = np.where(mask, idx, 0)
+            # padding slots replicate the row's last valid column (val 0) —
+            # the reference's leader-replication (convert_amb.cu:104-136);
+            # here it keeps padding tiles quasi-diagonal so the banded
+            # gather class still routes them
+            last_idx = np.minimum(
+                rpt[rows] + np.maximum(d - 1, 0), col.size - 1
+            )
+            lastcol = np.where(d > 0, col[last_idx], 0).astype(np.int32)
             sval = np.zeros((w, rpad), dtype=val.dtype)
             scol = np.zeros((w, rpad), dtype=np.int32)
             sval[:, : rows.size] = np.where(mask, val[idx], 0)
-            scol[:, : rows.size] = np.where(mask, col[idx], 0)
+            scol[:, : rows.size] = np.where(mask, col[idx], lastcol[None, :])
             pos[rows] = offset + np.arange(rows.size, dtype=np.int32)
             vals.append(jnp.asarray(sval))
             colss.append(jnp.asarray(scol))
+            colss_np.append(scol)
             widths.append(w)
             offset += rpad
 
         if not vals:  # empty matrix
             vals = [jnp.zeros((1, LANES), dtype=val.dtype)]
             colss = [jnp.zeros((1, LANES), dtype=np.int32)]
+            colss_np = [np.zeros((1, LANES), dtype=np.int32)]
             widths = [1]
+
+        # gather routing: per-slab x-gather plans + output-permutation plan
+        from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
+
+        cols_gp = tuple(
+            build_flat_gather_plan(c.reshape(-1), window=window)
+            for c in colss_np
+        )
+        pos_gp = build_flat_gather_plan(pos, window=window)
 
         return cls(
             vals=tuple(vals),
             cols=tuple(colss),
             pos=jnp.asarray(pos),
+            cols_gp=cols_gp,
+            pos_gp=pos_gp,
             shape=(m, n),
             widths=tuple(widths),
             nnz=a.nnz,

@@ -1,13 +1,18 @@
-"""Planned flat gather: windowed Pallas fast path + XLA fallback tiles.
+"""Planned flat gather: banded / windowed Pallas fast paths + XLA fallback.
 
-The host planner inspects the (static) gather indices tile by tile: tiles
-whose indices fit one ``window``-aligned window take the roll-scan Pallas
-kernel (``gather_from_flat``, ~20x XLA's gather); the rest fall back to
-XLA's general gather and are patched in with a tile-granular scatter.
+The host planner inspects the (static) gather indices tile by tile and
+routes each (8, 128) tile to the cheapest eligible kernel class:
+
+- ``("band", D)``: ``idx - position`` spans < D — quasi-diagonal access (the
+  SELL/banded-matrix case, identity-like permutations).  Cost O(D)
+  regardless of how far the tile strides.  D == 1 is a pure shifted copy.
+- ``("win", W)``: ``idx`` spans < W — localized random access (e.g. the
+  row-local A-value expansion of SpGEMM).  Cost O(W).
+- fallback: XLA's general gather, patched in tile-granularly.
 
 This is the direct TPU analog of the reference's bin dispatch: rows whose
-hash tables fit shared memory take the fast kernels, the rest fail over to
-global-memory tables (``set_row_nz_bin_each_gl``,
+hash tables fit shared memory take the fast kernels sized to them, the rest
+fail over to global-memory tables (``set_row_nz_bin_each_gl``,
 ``kernel_spgemm_hash_template.cu:545-611``).
 """
 
@@ -21,13 +26,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from nsparse_tpu.ops.kernels.gather_pallas import (
+    BAND_TILE_ROWS,
     LANES,
-    gather_from_flat,
+    TILE,
+    TILE_ROWS,
+    gather_subset_band,
+    gather_subset_window,
     scatter_tiles,
 )
 
-TILE_ROWS = 8
-TILE = TILE_ROWS * LANES  # 1024
+SUPER = BAND_TILE_ROWS * LANES  # banded supertile: 16384 elements
+
+# (kind, param) in increasing per-element cost; classifier picks the first
+# eligible class.  Banded classes route (BAND_TILE_ROWS, 128) supertiles
+# (coarse tiles amortize grid-step DMA setup; the d-span bound tolerates
+# them); window classes route (8, 128) tiles (index locality is local).
+DEFAULT_CLASSES = (
+    ("band", 1),     # aligned copy
+    ("band", 16),
+    ("band", 128),
+    ("win", 128),
+    ("win", 1024),
+)
+FORCE_PALLAS = False  # tests set this to exercise the kernels off-TPU
 
 
 def _round_up(x: int, m: int) -> int:
@@ -40,113 +61,159 @@ class FlatGatherPlan:
     """Precomputed routing for ``flat_gather`` over a fixed index array.
 
     Attributes:
-      idx2d: (T, 128) int32 — indices, fallback tiles zeroed (in-bounds).
-      bases: (T // 8,) int32 — window-aligned base per tile (0 for fallback).
-      fb_ids: (n_fb,) int32 — tile ids taking the XLA fallback.
-      fb_idx: (n_fb * 8, 128) int32 — their true indices.
-      window: static window width (multiple of 128).
-      n: static true index count (idx flattened length before padding).
+      idx2d: (T, 128) int32 — indices (tail padded with the last valid one).
+      ids: per-class tile-id arrays (parallel to ``classes``).
+      bases: per-class base arrays.
+      fb_ids: tile subset taking XLA's gather.
+      classes: static tuple of (kind, param) per subset.
+      n: static true index count.
     """
 
     idx2d: jax.Array
-    bases: jax.Array
+    ids: Tuple[jax.Array, ...]
+    bases: Tuple[jax.Array, ...]
     fb_ids: jax.Array
-    fb_idx: jax.Array
-    window: int = dataclasses.field(metadata=dict(static=True))
+    classes: Tuple[Tuple[str, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
     n: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
-        return int(self.bases.shape[0])
+        return int(self.idx2d.shape[0]) // TILE_ROWS
 
     @property
     def fallback_frac(self) -> float:
-        return self.fb_ids.shape[0] / max(self.n_tiles, 1)
+        return int(self.fb_ids.shape[0]) / max(self.n_tiles, 1)
+
+    @property
+    def class_fracs(self):
+        t = max(self.n_tiles, 1)
+        tiles_per_super = SUPER // TILE
+        out = {}
+        for (k, p), i in zip(self.classes, self.ids):
+            mult = tiles_per_super if k == "band" else 1
+            out[f"{k}{p}"] = int(i.shape[0]) * mult / t
+        out["fallback"] = int(self.fb_ids.shape[0]) / t
+        return out
 
 
 def build_flat_gather_plan(
-    idx: np.ndarray, window: int = 1024
+    idx: np.ndarray, classes=DEFAULT_CLASSES, window: int | None = None
 ) -> FlatGatherPlan:
-    """Host-side: classify (8, 128) tiles of ``idx`` by window fit."""
-    assert window % LANES == 0
+    """Host-side: route each (8, 128) tile of ``idx`` to its cheapest class.
+
+    ``window`` is accepted for backwards compatibility and ignored (the
+    class list subsumes it).
+    """
+    del window
     idx = np.asarray(idx, dtype=np.int32).reshape(-1)
     n = idx.size
-    np_pad = _round_up(max(n, 1), TILE)
+    np_pad = _round_up(max(n, 1), SUPER)
     idxp = np.zeros(np_pad, dtype=np.int32)
     idxp[:n] = idx
     if n:
         idxp[n:] = idx[n - 1]  # pad with a valid index
-    t3 = idxp.reshape(-1, TILE_ROWS, LANES)
-    lo = t3.min(axis=(1, 2))
-    hi = t3.max(axis=(1, 2))
-    base_cand = (lo // LANES) * LANES  # 128-aligned window start
-    ok = hi < base_cand + window
-    bases = np.where(ok, base_cand, 0).astype(np.int32)
-    fb_ids = np.nonzero(~ok)[0].astype(np.int32)
-    fb_idx = t3[~ok].reshape(-1, LANES)
-    safe = t3.copy()
-    safe[~ok] = 0
+
+    valid = np.arange(np_pad, dtype=np.int64) < n
+
+    def masked_span(arr2d, mask2d):
+        big = np.int64(1) << 60
+        lo = np.where(mask2d, arr2d, big).min(axis=1)
+        hi = np.where(mask2d, arr2d, -big).max(axis=1)
+        return lo, hi
+
+    # band classes at supertile granularity: d = idx - flat position
+    # (pad slots are excluded from the span; their gathered value is never
+    # selected — d matches no shift — and gets sliced off anyway)
+    s2 = idxp.reshape(-1, SUPER).astype(np.int64)
+    v2 = valid.reshape(-1, SUPER)
+    n_super = s2.shape[0]
+    p_super = np.arange(SUPER, dtype=np.int64)[None, :]
+    dlo, dhi = masked_span(s2 - p_super, v2)
+    any_valid_super = v2.any(axis=1)
+
+    super_assigned = ~any_valid_super  # fully-pad supertiles: skip entirely
+    ids, bases = [], []
+    band_classes = [(k, p) for k, p in classes if k == "band"]
+    win_classes = [(k, p) for k, p in classes if k != "band"]
+    for _, param in band_classes:
+        ok = (
+            (~super_assigned)
+            & any_valid_super
+            & (dhi - dlo < param)
+            & (dlo >= 0)
+        )
+        super_assigned |= ok
+        ids.append(jnp.asarray(np.nonzero(ok)[0].astype(np.int32)))
+        bases.append(jnp.asarray(dlo[ok].astype(np.int32)))
+
+    # window classes at 8-row tile granularity on the remaining supertiles
+    t3 = idxp.reshape(-1, TILE).astype(np.int64)
+    v3 = valid.reshape(-1, TILE)
+    tiles_per_super = SUPER // TILE
+    tile_open = np.repeat(~super_assigned & any_valid_super, tiles_per_super)
+    tile_open &= v3.any(axis=1)
+    lo, hi = masked_span(t3, v3)
+    assigned = ~tile_open
+    for _, param in win_classes:
+        ok = (~assigned) & (hi - lo < param)
+        assigned |= ok
+        ids.append(jnp.asarray(np.nonzero(ok)[0].astype(np.int32)))
+        bases.append(jnp.asarray(lo[ok].astype(np.int32)))
+    fb_ids = np.nonzero(~assigned)[0].astype(np.int32)
+
+    ordered = tuple(band_classes) + tuple(win_classes)
     return FlatGatherPlan(
-        idx2d=jnp.asarray(safe.reshape(-1, LANES)),
-        bases=jnp.asarray(bases),
+        idx2d=jnp.asarray(idxp.reshape(-1, LANES).astype(np.int32)),
+        ids=tuple(ids),
+        bases=tuple(bases),
         fb_ids=jnp.asarray(fb_ids),
-        fb_idx=jnp.asarray(fb_idx if fb_idx.size else fb_idx.reshape(0, LANES)),
-        window=window,
+        classes=tuple((k, int(p)) for k, p in ordered),
         n=n,
     )
-
-
-FORCE_PALLAS = False  # tests set this to exercise the kernels off-TPU
-
-
-def _fb_rows(plan: "FlatGatherPlan") -> jax.Array:
-    """Flat element indices covered by fallback tiles."""
-    rows = (
-        plan.fb_ids[:, None] * TILE_ROWS
-        + jnp.arange(TILE_ROWS, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
-    return (
-        rows[:, None] * LANES + jnp.arange(LANES, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
 
 
 def flat_gather(
     plan: FlatGatherPlan, src: jax.Array, other: jax.Array | None = None
 ) -> jax.Array:
-    """out[i] = src[idx[i]] (optionally * other[i]); returns flat (n,).
-
-    ``other``, when given, must be flat of length >= plan padded size or
-    exactly plan.n (it is padded with zeros).
-    """
+    """out[i] = src[idx[i]] (optionally * other[i]); returns flat (n,)."""
+    t = plan.idx2d.shape[0]
     if jax.default_backend() != "tpu" and not FORCE_PALLAS:
-        # off-TPU the roll-scan has no hardware to exploit (and interpret
-        # mode is orders of magnitude slower) — XLA's gather is the fast path
-        full = plan.idx2d.reshape(-1)
-        if int(plan.fb_ids.shape[0]):
-            full = full.at[_fb_rows(plan)].set(plan.fb_idx.reshape(-1))
-        out = src[full][: plan.n]
+        out = src[plan.idx2d.reshape(-1)][: plan.n]
         if other is not None:
             out = out * other[: plan.n]
         return out
-    t = plan.idx2d.shape[0]
-    src_p = jnp.pad(
-        src, (0, _round_up(int(src.shape[0]), 1024) + 2048 - int(src.shape[0]))
-    )
+
+    # pad src so every (16,128)-block pair the kernels touch is in range
+    pad = _round_up(int(src.shape[0]), 2048) + 4096 - int(src.shape[0])
+    src_p = jnp.pad(src, (0, pad))
+    src2 = src_p.reshape(-1, LANES)
     oth2d = None
     if other is not None:
-        pad = t * LANES - int(other.shape[0])
-        oth2d = jnp.pad(other, (0, pad)).reshape(t, LANES)
-    out = gather_from_flat(
-        src_p, plan.bases, plan.idx2d, plan.window,
-        tile_rows=TILE_ROWS, other=oth2d,
-    )
+        opad = t * LANES - int(other.shape[0])
+        oth2d = jnp.pad(other, (0, opad)).reshape(t, LANES)
+
+    out = jnp.zeros((t, LANES), src.dtype)
+    for (kind, param), ids, bases in zip(plan.classes, plan.ids, plan.bases):
+        if not int(ids.shape[0]):
+            continue
+        if kind == "band":
+            out = gather_subset_band(
+                src2, ids, bases, plan.idx2d, oth2d, out, param
+            )
+        else:
+            out = gather_subset_window(
+                src2, ids, bases, plan.idx2d, oth2d, out, param
+            )
     if int(plan.fb_ids.shape[0]):
-        fb_vals = src_p[plan.fb_idx]
+        rows = (
+            plan.fb_ids[:, None] * TILE_ROWS
+            + jnp.arange(TILE_ROWS, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        fb_idx = jnp.take(plan.idx2d, rows, axis=0)
+        fb_vals = src_p[fb_idx]
         if oth2d is not None:
-            rows = (
-                plan.fb_ids[:, None] * TILE_ROWS
-                + jnp.arange(TILE_ROWS, dtype=jnp.int32)[None, :]
-            ).reshape(-1)
             fb_vals = fb_vals * jnp.take(oth2d, rows, axis=0)
         out = scatter_tiles(out, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS)
     return out.reshape(-1)[: plan.n]

@@ -1,19 +1,27 @@
-"""Windowed gather kernels — the TPU substitute for random gather.
+"""Windowed / banded gather kernels — the TPU substitute for random gather.
 
 TPU vector units have no arbitrary-gather instruction, and XLA lowers
 ``x[idx]`` to a ~12-cycle-per-element scalar loop (measured ~0.13 G
-gathers/s on v5e).  But the VPU *can* rotate a vector register across lanes
-in one step (``pltpu.roll``), so a gather whose indices fall inside a small
-window can be computed as a **roll-scan**: for each shift s, rotate the
-window and select the lanes whose index distance equals s.  Cost is
-O(window) VPU steps per (rows, 128) tile — measured 2.5 G gathers/s for a
-128-wide window and 4.6 G/s for a 32-wide one (20-35x over XLA's gather).
+gathers/s on v5e).  The VPU *can* rotate a vector register across lanes or
+sublanes in one step (``pltpu.roll``, dynamic shift supported), which gives
+two fast gather shapes:
 
-This is the TPU reincarnation of the reference's column segmentation: AMB
-compresses column indices to 16-bit offsets within a segment so the x
-segment stays cache-resident (``convert_amb.cu:313-346``); here indices are
-compressed to a window so the x window stays *register*-resident and the
-gather becomes lane rotations.
+- **windowed**: all of a tile's indices fall in a small window
+  ``[base, base + W)`` -> roll-scan: for each shift s, rotate the window and
+  select the lanes at distance s.  O(W) VPU steps per (8, 128) tile.
+- **banded**: ``idx - position`` falls in a small band ``[base, base + D)``
+  (quasi-diagonal access, the SELL/banded-matrix case) -> align the source
+  by a *dynamic* flat roll, then scan only the D band offsets.  O(D) steps —
+  independent of how far the tile strides through the source.
+
+These are the TPU reincarnation of the reference's column segmentation
+(16-bit in-segment indices keeping the x segment cache-resident,
+``convert_amb.cu:313-346``): indices are rebased against a window/band so
+the source stays register-resident and the gather becomes lane rotations.
+
+All kernels read their tiles through scalar-prefetched BlockSpecs, so a
+planner can route *subsets* of tiles to each kernel (the analog of the
+reference's per-bin kernel dispatch, ``kernel_spgemm_hash_d.cu:1077-1185``).
 """
 
 from __future__ import annotations
@@ -26,195 +34,211 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+TILE_ROWS = 8
+TILE = TILE_ROWS * LANES  # 1024
+SRC_ROWS = 32  # sublane rows of source DMA'd per tile (2 x (16,128) blocks)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _roll_gather_tile(win, idx, window: int):
-    """out[r, l] = win[r, idx[r, l]] for one (TR, >=window) tile.
+# ---------------------------------------------------------------------------
+# in-kernel building blocks
+# ---------------------------------------------------------------------------
 
-    ``window`` must be a divisor or a multiple of 128.  idx in [0, window).
+
+def _flat_align(blk, off):
+    """y[q, l] = blk.flat[q * 128 + l + off] (row-major), off traced.
+
+    ``blk`` is (R, 128); valid for q * 128 + l + off < R * 128 (the caller
+    guarantees off + needed span fits).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
-    acc = jnp.zeros(idx.shape, win.dtype)
-    if window <= LANES:
-        if window < LANES:
-            # period-`window` broadcast across the 128 lanes
-            wb = jnp.concatenate([win[:, :window]] * (LANES // window), axis=1)
-        else:
-            wb = win
-        for s in range(window):
-            ws = pltpu.roll(wb, s, 1)  # ws[:, i] = wb[:, (i - s) % 128]
-            acc = acc + jnp.where(
-                (idx % window) == ((lane - s) % window), ws,
-                jnp.zeros_like(acc),
-            )
-        return acc
-    # window = K * 128: scan each 128-lane group of the window
-    sub = idx % LANES
-    grp = idx // LANES
-    for g in range(window // LANES):
-        wg = win[:, g * LANES : (g + 1) * LANES]
-        hit = grp == g
-        for s in range(LANES):
+    r = blk.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    l_off = off % LANES
+    s_off = off // LANES
+    a = pltpu.roll(blk, (LANES - l_off) % LANES, 1)   # a[q,l] = blk[q, (l+l_off)%128]
+    b = pltpu.roll(a, (r - s_off) % r, 0)             # rows shifted by s_off
+    c = pltpu.roll(a, (r - s_off - 1) % r, 0)         # rows shifted by s_off+1
+    return jnp.where(lane < LANES - l_off, b, c)
+
+
+def _flat_shift_static(aligned, s: int):
+    """y[q, l] = aligned.flat[q * 128 + l + s] for static s in [0, 128]."""
+    if s == 0:
+        return aligned
+    r = aligned.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, aligned.shape, 1)
+    a = pltpu.roll(aligned, (LANES - s % LANES) % LANES, 1)
+    if s % LANES == 0:
+        a_next = pltpu.roll(aligned, r - s // LANES, 0)
+        return a_next
+    b = pltpu.roll(a, (r - s // LANES) % r, 0)
+    c = pltpu.roll(a, (r - s // LANES - 1) % r, 0)
+    return jnp.where(lane < LANES - (s % LANES), b, c)
+
+
+def _roll_scan_window(aligned, loc, window: int):
+    """out[r, l] = aligned-window[loc[r, l]] with loc in [0, window).
+
+    ``aligned`` is (R, 128) holding the window at flat offset 0.  Cost:
+    O(window) rotate+select steps on (tile, 128) vregs.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
+    sub = loc % LANES
+    grp = loc // LANES
+    acc = jnp.zeros(loc.shape, aligned.dtype)
+    for g in range(window // LANES if window >= LANES else 1):
+        wg = jnp.broadcast_to(aligned[g : g + 1, :], loc.shape)
+        hit = grp == g if window > LANES else None
+        for s in range(min(window, LANES)):
             ws = pltpu.roll(wg, s, 1)
-            acc = acc + jnp.where(
-                hit & (sub == ((lane - s) % LANES)), ws,
-                jnp.zeros_like(acc),
-            )
+            sel = sub == ((lane - s) % LANES)
+            if hit is not None:
+                sel = sel & hit
+            acc = acc + jnp.where(sel, ws, jnp.zeros_like(acc))
     return acc
 
 
-def _roll_gather_groups(rows, idx):
-    """out[r, l] = rows[idx[r, l] // 128][r, (idx % 128)[r, l]].
+def _band_scan(aligned, d, band: int, tile_rows: int = TILE_ROWS):
+    """out[p] = aligned.flat[p_local + d[p]] with d in [0, band).
 
-    ``rows`` is a list of (TR, 128) group windows (each typically a
-    broadcast row vector); avoids lane-axis concatenation, which Mosaic
-    cannot relayout.
+    ``aligned``: (R, 128) with R * 128 >= tile_rows * 128 + band; ``d``:
+    (tile_rows, 128).  Cost: O(band) static shifts — independent of the
+    stride covered.
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
-    sub = idx % LANES
-    grp = idx // LANES
-    acc = jnp.zeros(idx.shape, rows[0].dtype)
-    for g, wg in enumerate(rows):
-        hit = grp == g
-        for s in range(LANES):
-            ws = pltpu.roll(wg, s, 1)
-            acc = acc + jnp.where(
-                hit & (sub == ((lane - s) % LANES)), ws,
-                jnp.zeros_like(acc),
-            )
+    acc = jnp.zeros(d.shape, aligned.dtype)
+    for s in range(band):
+        ys = _flat_shift_static(aligned, s)[:tile_rows]
+        acc = acc + jnp.where(d == s, ys, jnp.zeros_like(acc))
     return acc
 
 
-def _gather_kernel(win_ref, idx_ref, out_ref, *, window: int):
-    out_ref[:] = _roll_gather_tile(win_ref[:], idx_ref[:], window)
+# ---------------------------------------------------------------------------
+# pallas calls (tile subsets via scalar-prefetched ids)
+# ---------------------------------------------------------------------------
 
 
-def windowed_gather(
-    win: jax.Array, idx: jax.Array, window: int, tile_rows: int = 256
-) -> jax.Array:
-    """out[t, l] = win[t, idx[t, l]], with idx[t, l] < window.
+def _src_specs(src_rows: int, n_src: int):
+    """``n_src`` consecutive (src_rows, 128) source blocks starting at the
+    block containing ``bases[i]``."""
+    span = src_rows * LANES
 
-    ``win``: (T, max(window, 128)) per-row windows; ``idx``: (T, 128).
-    ``window`` must be a divisor or a multiple of 128.
-    """
-    t, l = idx.shape
-    assert l == LANES, idx.shape
-    tr = min(tile_rows, t)
-    assert t % tr == 0
-    wl = win.shape[1]
-    return pl.pallas_call(
-        functools.partial(_gather_kernel, window=window),
-        grid=(t // tr,),
-        in_specs=[
-            pl.BlockSpec((tr, wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((t, LANES), win.dtype),
-        interpret=_interpret(),
-    )(win, idx)
-
-
-def gather_from_flat(
-    src: jax.Array,
-    base: jax.Array,
-    idx: jax.Array,
-    window: int,
-    tile_rows: int = 8,
-    other: jax.Array | None = None,
-) -> jax.Array:
-    """out[t, l] = src[idx[t, l]] (optionally * other[t, l]).
-
-    ``src`` is a flat padded array in HBM.  Each grid tile covers
-    ``tile_rows`` rows of ``idx`` and DMAs the ``window``-wide slice of
-    ``src`` starting at ``base[tile]`` (scalar-prefetched BlockSpec index),
-    then roll-scans inside the VMEM-resident window.
-
-    Requirements: ``window`` in {128, 256, ..., 1024}; ``base[t]`` a
-    multiple of 128; ``base[t] <= idx[tile t] < base[t] + window``;
-    ``len(src) >= max(base) + 2048`` and a multiple of 1024.
-
-    The DMA granularity is two (8, 128) source blocks (TPU block specs
-    cannot start at arbitrary sublanes), so the kernel first selects the
-    ``window // 128`` sublane rows starting at the base's sublane offset,
-    then roll-scans the window.
-    """
-    t, l = idx.shape
-    assert l == LANES and window % LANES == 0 and window <= 1024
-    n_tiles = t // tile_rows
-    assert n_tiles * tile_rows == t
-    src2 = src.reshape(-1, LANES)
-    wrows = window // LANES
-
-    def kern(base_r, srca_r, srcb_r, idx_r, *rest):
-        if other is not None:
-            oth_r, out_r = rest
-        else:
-            (out_r,) = rest
-        i = pl.program_id(0)
-        sub = (base_r[i] // LANES) % 8
-        rows = []
-        for j in range(wrows):
-            row = jnp.zeros((1, LANES), srca_r.dtype)
-            for r in range(8):
-                cand = (
-                    srca_r[r + j : r + j + 1, :]
-                    if r + j < 8
-                    else srcb_r[r + j - 8 : r + j - 7, :]
-                )
-                row = jnp.where(sub == r, cand, row)
-            rows.append(jnp.broadcast_to(row, (tile_rows, LANES)))
-        loc = idx_r[:] - base_r[i]
-        g = _roll_gather_groups(rows, loc)
-        out_r[:] = g if other is None else oth_r[:] * g
-
-    in_specs = [
-        pl.BlockSpec(
-            (8, LANES),
-            lambda i, base: (base[i] // 1024, 0),
+    def mk(j):
+        return pl.BlockSpec(
+            (src_rows, LANES),
+            lambda i, ids, bases, j=j: (bases[i] // span + j, 0),
             memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (8, LANES),
-            lambda i, base: (base[i] // 1024 + 1, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (tile_rows, LANES), lambda i, base: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    args = [base, src2, src2, idx]
-    if other is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (tile_rows, LANES), lambda i, base: (i, 0),
-                memory_space=pltpu.VMEM,
-            )
         )
-        args.append(other)
 
+    return [mk(j) for j in range(n_src)]
+
+
+def _tile_spec(tile_rows: int):
+    return pl.BlockSpec(
+        (tile_rows, LANES), lambda i, ids, bases: (ids[i], 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _subset_call(
+    kern, n_tiles, src2, ids, bases, idx, other, out_alias,
+    tile_rows: int, src_rows: int, n_src: int,
+):
+    """Run ``kern`` over the tile subset ``ids`` (ids in units of
+    ``tile_rows``-row blocks), writing into ``out_alias`` (donated)."""
+    in_specs = _src_specs(src_rows, n_src) + [_tile_spec(tile_rows)]
+    args = [ids, bases] + [src2] * n_src + [idx]
+    if other is not None:
+        in_specs.append(_tile_spec(tile_rows))
+        args.append(other)
+    in_specs.append(_tile_spec(tile_rows))  # aliased output as input
+    args.append(out_alias)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (tile_rows, LANES), lambda i, base: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=_tile_spec(tile_rows),
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, LANES), src.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_alias.shape, out_alias.dtype),
+        input_output_aliases={len(args) - 1: 0},
         interpret=_interpret(),
     )(*args)
+
+
+def _make_window_kern(window: int, fused: bool, n_src: int):
+    def kern(ids_r, bases_r, *rest):
+        srcs, rest = rest[:n_src], rest[n_src:]
+        if fused:
+            idx_r, oth_r, alias_r, out_r = rest
+        else:
+            idx_r, alias_r, out_r = rest
+            oth_r = None
+        del alias_r
+        i = pl.program_id(0)
+        base = bases_r[i]
+        blk = jnp.concatenate([s[:] for s in srcs], axis=0)
+        aligned = _flat_align(blk, base % (srcs[0].shape[0] * LANES))
+        loc = idx_r[:] - base
+        g = _roll_scan_window(aligned, loc, window)
+        out_r[:] = g if oth_r is None else oth_r[:] * g
+
+    return kern
+
+
+def _make_band_kern(band: int, fused: bool, n_src: int):
+    def kern(ids_r, bases_r, *rest):
+        srcs, rest = rest[:n_src], rest[n_src:]
+        if fused:
+            idx_r, oth_r, alias_r, out_r = rest
+        else:
+            idx_r, alias_r, out_r = rest
+            oth_r = None
+        del alias_r
+        i = pl.program_id(0)
+        base = bases_r[i]  # src flat index of band start for p_local = 0
+        blk = jnp.concatenate([s[:] for s in srcs], axis=0)
+        aligned = _flat_align(blk, base % (srcs[0].shape[0] * LANES))
+        lane = jax.lax.broadcasted_iota(jnp.int32, idx_r.shape, 1)
+        srow = jax.lax.broadcasted_iota(jnp.int32, idx_r.shape, 0)
+        p_local = srow * LANES + lane
+        d = idx_r[:] - base - p_local
+        g = _band_scan(aligned, d, band, tile_rows=idx_r.shape[0])
+        out_r[:] = g if oth_r is None else oth_r[:] * g
+
+    return kern
+
+
+def gather_subset_window(src2, ids, bases, idx, other, out, window: int):
+    """Windowed gather over the (8-row) tile subset ``ids``; out donated.
+
+    Source DMA: 2 x (16, 128) blocks — covers any 1024-wide window."""
+    kern = _make_window_kern(window, other is not None, n_src=2)
+    return _subset_call(
+        kern, int(ids.shape[0]), src2, ids, bases, idx, other, out,
+        tile_rows=TILE_ROWS, src_rows=16, n_src=2,
+    )
+
+
+BAND_TILE_ROWS = 128  # supertile rows for the banded class
+
+
+def gather_subset_band(src2, ids, bases, idx, other, out, band: int):
+    """Banded gather over the supertile subset ``ids``; out donated.
+
+    Banded access tolerates coarse tiles (the span bound is on
+    ``idx - position``), so supertiles amortize per-grid-step DMA setup.
+    Source DMA: 4 x (64, 128) blocks = 32768 elements, covering
+    base%8192 + 16384 + band."""
+    kern = _make_band_kern(band, other is not None, n_src=4)
+    return _subset_call(
+        kern, int(ids.shape[0]), src2, ids, bases, idx, other, out,
+        tile_rows=BAND_TILE_ROWS, src_rows=64, n_src=4,
+    )
 
 
 def scatter_tiles(
@@ -259,3 +283,73 @@ def scatter_tiles(
         input_output_aliases={2: 0},
         interpret=_interpret(),
     )(tile_ids, vals.reshape(-1, LANES), dst)
+
+
+# ---------------------------------------------------------------------------
+# standalone whole-array windowed gather (kept for tests / simple callers)
+# ---------------------------------------------------------------------------
+
+
+def _roll_gather_tile(win, idx, window: int):
+    """out[r, l] = win[r, idx[r, l]] for one (TR, >=window) tile.
+
+    ``window`` must be a divisor or a multiple of 128.  idx in [0, window).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    acc = jnp.zeros(idx.shape, win.dtype)
+    if window <= LANES:
+        if window < LANES:
+            wb = jnp.concatenate([win[:, :window]] * (LANES // window), axis=1)
+        else:
+            wb = win
+        for s in range(window):
+            ws = pltpu.roll(wb, s, 1)
+            acc = acc + jnp.where(
+                (idx % window) == ((lane - s) % window), ws,
+                jnp.zeros_like(acc),
+            )
+        return acc
+    sub = idx % LANES
+    grp = idx // LANES
+    for g in range(window // LANES):
+        wg = win[:, g * LANES : (g + 1) * LANES]
+        hit = grp == g
+        for s in range(LANES):
+            ws = pltpu.roll(wg, s, 1)
+            acc = acc + jnp.where(
+                hit & (sub == ((lane - s) % LANES)), ws,
+                jnp.zeros_like(acc),
+            )
+    return acc
+
+
+def _gather_kernel(win_ref, idx_ref, out_ref, *, window: int):
+    out_ref[:] = _roll_gather_tile(win_ref[:], idx_ref[:], window)
+
+
+def windowed_gather(
+    win: jax.Array, idx: jax.Array, window: int, tile_rows: int = 256
+) -> jax.Array:
+    """out[t, l] = win[t, idx[t, l]], with idx[t, l] < window.
+
+    ``win``: (T, max(window, 128)) per-row windows; ``idx``: (T, 128).
+    ``window`` must be a divisor or a multiple of 128.
+    """
+    t, l = idx.shape
+    assert l == LANES, idx.shape
+    tr = min(tile_rows, t)
+    assert t % tr == 0
+    wl = win.shape[1]
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, window=window),
+        grid=(t // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, LANES), win.dtype),
+        interpret=_interpret(),
+    )(win, idx)

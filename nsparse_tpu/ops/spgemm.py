@@ -212,8 +212,8 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
         bpos=jnp.asarray(_pad(bpos, p_pad, 0)),
         out_pos=jnp.asarray(_pad(out_pos, p_pad, c_cap)),
         ends=jnp.asarray(ends_p),
-        av_gp=build_flat_gather_plan(apos_p, window=256),
-        ends_gp=build_flat_gather_plan(ends_p, window=512),
+        av_gp=build_flat_gather_plan(apos_p, window=1024),
+        ends_gp=build_flat_gather_plan(ends_p, window=1024),
         c_rpt=jnp.asarray(c_rpt),
         c_col=jnp.asarray(_pad(c_col, c_cap, 0)),
         shape=(m, n),

@@ -41,7 +41,25 @@ def spmv_csr(a: CSR, x: jax.Array) -> jax.Array:
 
 
 def spmv_ell(a: ELL, x: jax.Array) -> jax.Array:
-    """y = A @ x for width-binned ELL slabs (vectorized gather+FMA)."""
+    """y = A @ x for width-binned ELL slabs.
+
+    On TPU both gathers route through the windowed roll-scan kernel
+    (``flat_gather``): the x-gather windows come from column locality inside
+    each (8 slots x 128 rows) tile, and the output-permutation gather is
+    window-bounded by the sigma-windowed sort (the reason SELL-C-sigma
+    sorts in windows).  Off-TPU and for plan-less ELLs this is XLA's gather.
+    """
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+    if a.cols_gp and a.cols_gp[0] is not None:
+        outs = []
+        for val, gp in zip(a.vals, a.cols_gp):
+            g = flat_gather(gp, x, other=val.reshape(-1)).reshape(val.shape)
+            outs.append(jnp.sum(g, axis=0))
+        y_all = jnp.concatenate(outs, axis=0)
+        if a.pos_gp is not None:
+            return flat_gather(a.pos_gp, y_all)
+        return y_all[a.pos]
     outs = []
     for val, col in zip(a.vals, a.cols):
         # (W, R): reduce over the width axis; every step is a lane-wide FMA.

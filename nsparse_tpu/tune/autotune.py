@@ -52,7 +52,8 @@ def default_candidates(a: CSR) -> Iterable[Plan]:
     cands = [
         Plan(format="dia"),  # _build raises for non-diagonal matrices
         Plan(format="csr"),
-        Plan(format="ell", min_width=8, max_slabs=8),
+        Plan(format="ell", min_width=8, max_slabs=8, sigma=1024),
+        Plan(format="ell", min_width=8, max_slabs=8, sigma=0),  # keep order
         Plan(format="ell", min_width=16, max_slabs=6),
         Plan(format="ell", min_width=8, max_slabs=4),
     ]

@@ -33,3 +33,21 @@ def time_fn(fn: Callable[[], object], trials: int = 10, warmup: int = 1) -> floa
 
 def gflops(flops: float, ms: float) -> float:
     return flops / (ms * 1e-3) / 1e9
+
+
+def time_chained(step, init, iters: int = 20, reps: int = 3) -> float:
+    """Average ms per iteration of ``carry = step(carry, i)`` chained inside
+    one jitted ``fori_loop`` — excludes per-dispatch latency, which on a
+    tunnel-attached chip (milliseconds) can dwarf small kernels.  ``step``
+    must make the carry feed the next iteration so XLA cannot hoist it.
+    """
+    loop = jax.jit(
+        lambda c: jax.lax.fori_loop(0, iters, lambda i, c: step(c, i), c)
+    )
+    c = jax.block_until_ready(loop(init))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = loop(c)
+    jax.block_until_ready(c)
+    t1 = time.perf_counter()
+    return (t1 - t0) * 1e3 / (reps * iters)

@@ -11,7 +11,6 @@ from nsparse_tpu.ops.kernels.flat_gather import (
     flat_gather,
 )
 from nsparse_tpu.ops.kernels.gather_pallas import (
-    gather_from_flat,
     scatter_tiles,
     windowed_gather,
 )
@@ -29,25 +28,6 @@ def test_windowed_gather(rng, window):
     np.testing.assert_array_equal(out, np.take_along_axis(win, idx, 1))
 
 
-def test_gather_from_flat(rng):
-    s = 4096
-    window = 256
-    src = rng.standard_normal(s).astype(np.float32)
-    n_tiles = 4
-    base = (rng.integers(0, s // window, n_tiles) * window).astype(np.int32)
-    idx = (
-        base.repeat(8)[:, None] + rng.integers(0, window, (n_tiles * 8, 128))
-    ).astype(np.int32)
-    oth = rng.standard_normal((n_tiles * 8, 128)).astype(np.float32)
-    out = np.asarray(
-        gather_from_flat(
-            jnp.asarray(src), jnp.asarray(base), jnp.asarray(idx), window,
-            other=jnp.asarray(oth),
-        )
-    )
-    np.testing.assert_allclose(out, src[idx] * oth, rtol=1e-6)
-
-
 def test_scatter_tiles(rng):
     dst = rng.standard_normal((32, 128)).astype(np.float32)
     vals = rng.standard_normal((2, 8, 128)).astype(np.float32)
@@ -62,17 +42,38 @@ def test_scatter_tiles(rng):
     np.testing.assert_array_equal(out, want)
 
 
+def _mixed_indices(rng, s, n):
+    """Indices mixing banded, windowed, and wild tiles.
+
+    The banded region must span whole supertiles (16384 elements) since the
+    banded class routes at supertile granularity."""
+    idx = np.empty(n, dtype=np.int32)
+    nb = 20000
+    idx[:nb] = np.arange(nb) + rng.integers(0, 100, nb) + 7
+    # windowed region: random within one 1024 window per 1024-tile
+    nw = 10240
+    idx[nb : nb + nw] = (
+        (rng.integers(0, 8, nw // 1024).repeat(1024)) * 2048
+        + rng.integers(0, 1000, nw)
+    )
+    # wild region
+    idx[nb + nw :] = rng.integers(0, s, n - nb - nw)
+    return np.minimum(idx, s - 1)
+
+
 @pytest.mark.parametrize("force_pallas", [False, True])
 def test_flat_gather_mixed(rng, force_pallas, monkeypatch):
     monkeypatch.setattr(fg, "FORCE_PALLAS", force_pallas)
-    s = 8192
+    s = 40000
     src = rng.standard_normal(s).astype(np.float32)
-    n = 5000
-    idx = (rng.integers(0, 7, n) * 1024 + rng.integers(0, 900, n)).astype(
-        np.int32
-    )
-    idx[1200:1300] = rng.integers(0, s, 100)  # wild tile -> fallback
-    plan = build_flat_gather_plan(idx, window=1024)
+    n = 36000
+    idx = _mixed_indices(rng, s, n)
+    plan = build_flat_gather_plan(idx)
+    if force_pallas:
+        fr = plan.class_fracs
+        assert sum(v for k, v in fr.items() if k.startswith("band")) > 0, fr
+        assert sum(v for k, v in fr.items() if k.startswith("win")) > 0, fr
+        assert fr["fallback"] > 0, fr
     out = np.asarray(flat_gather(plan, jnp.asarray(src)))
     np.testing.assert_array_equal(out, src[idx])
     oth = rng.standard_normal(n).astype(np.float32)
@@ -80,9 +81,22 @@ def test_flat_gather_mixed(rng, force_pallas, monkeypatch):
     np.testing.assert_allclose(out2, src[idx] * oth, rtol=1e-6)
 
 
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_flat_gather_identity(rng, force_pallas, monkeypatch):
+    monkeypatch.setattr(fg, "FORCE_PALLAS", force_pallas)
+    n = 4096
+    src = rng.standard_normal(n + 64).astype(np.float32)
+    idx = np.arange(n, dtype=np.int32) + 3
+    plan = build_flat_gather_plan(idx)
+    if force_pallas:
+        assert plan.class_fracs["band1"] == 1.0
+    out = np.asarray(flat_gather(plan, jnp.asarray(src)))
+    np.testing.assert_array_equal(out, src[idx])
+
+
 def test_flat_gather_all_fallback(rng):
-    src = rng.standard_normal(4096).astype(np.float32)
-    idx = rng.integers(0, 4096, 2048).astype(np.int32)
-    plan = build_flat_gather_plan(idx, window=128)
+    src = rng.standard_normal(65536).astype(np.float32)
+    idx = rng.integers(0, 65536, 2048).astype(np.int32)
+    plan = build_flat_gather_plan(idx)
     out = np.asarray(flat_gather(plan, jnp.asarray(src)))
     np.testing.assert_array_equal(out, src[idx])
