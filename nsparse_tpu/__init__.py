@@ -24,7 +24,7 @@ from nsparse_tpu.formats.ell import ELL
 from nsparse_tpu.formats.bsr import BSR
 from nsparse_tpu.formats.dia import DIA
 from nsparse_tpu.io.matrix_market import read_mtx, write_mtx
-from nsparse_tpu.ops.spmv import spmv, spmv_csr, spmv_ell
+from nsparse_tpu.ops.spmv import spmv, spmv_csr, spmv_dia, spmv_ell
 from nsparse_tpu.ops.spgemm import (
     spgemm,
     spgemm_flops,
@@ -42,10 +42,12 @@ __all__ = [
     "COO",
     "ELL",
     "BSR",
+    "DIA",
     "read_mtx",
     "write_mtx",
     "spmv",
     "spmv_csr",
+    "spmv_dia",
     "spmv_ell",
     "spgemm",
     "spgemm_flops",

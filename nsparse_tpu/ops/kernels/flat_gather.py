@@ -99,14 +99,19 @@ class FlatGatherPlan:
 
 
 def build_flat_gather_plan(
-    idx: np.ndarray, classes=DEFAULT_CLASSES, window: int | None = None
+    idx: np.ndarray, classes=None, window: int | None = None
 ) -> FlatGatherPlan:
     """Host-side: route each (8, 128) tile of ``idx`` to its cheapest class.
 
-    ``window`` is accepted for backwards compatibility and ignored (the
-    class list subsumes it).
+    ``classes`` defaults to the chip's generated kernel config (see
+    ``nsparse_tpu.tune.kernelgen``).  ``window`` is accepted for backwards
+    compatibility and ignored (the class list subsumes it).
     """
     del window
+    if classes is None:
+        from nsparse_tpu.tune.kernelgen import kernel_config
+
+        classes = kernel_config().gather_classes
     idx = np.asarray(idx, dtype=np.int32).reshape(-1)
     n = idx.size
     np_pad = _round_up(max(n, 1), SUPER)

@@ -48,7 +48,7 @@ def _mixed_indices(rng, s, n):
     The banded region must span whole supertiles (16384 elements) since the
     banded class routes at supertile granularity."""
     idx = np.empty(n, dtype=np.int32)
-    nb = 20000
+    nb = 16384  # supertile-aligned so the next region is tile-aligned
     idx[:nb] = np.arange(nb) + rng.integers(0, 100, nb) + 7
     # windowed region: random within one 1024 window per 1024-tile
     nw = 10240
