@@ -2,6 +2,12 @@ from nsparse_tpu.parallel.mesh import make_mesh
 from nsparse_tpu.parallel.partition import PartitionedCSR, partition_rows
 from nsparse_tpu.parallel.spmv import spmv_dist
 from nsparse_tpu.parallel.spgemm import spgemm_dist, rap_dist
+from nsparse_tpu.parallel.halo import (
+    BandedPartitionedCSR,
+    partition_banded,
+    shard_x,
+    spmv_halo,
+)
 
 __all__ = [
     "make_mesh",
@@ -10,4 +16,8 @@ __all__ = [
     "spmv_dist",
     "spgemm_dist",
     "rap_dist",
+    "BandedPartitionedCSR",
+    "partition_banded",
+    "shard_x",
+    "spmv_halo",
 ]

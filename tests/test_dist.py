@@ -82,6 +82,34 @@ def test_spgemm_dist_plan_reuse():
     assert check_spgemm_answer(got, spgemm_oracle(a2, a2), verbose=True)
 
 
+def test_spmv_halo():
+    from nsparse_tpu.parallel.halo import (
+        partition_banded,
+        shard_x,
+        spmv_halo,
+    )
+
+    mesh = make_mesh(8)
+    a = stencil_csr(16, 16)
+    ap = partition_banded(a, 8)
+    assert ap.halo == 16
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(a.shape[1])
+    xs = shard_x(jnp.asarray(x), 8, ap.m_loc)
+    y = np.asarray(spmv_halo(ap, xs, mesh)).reshape(-1)[: a.shape[0]]
+    np.testing.assert_allclose(y, spmv_oracle(a, x), rtol=1e-10)
+
+
+def test_partition_banded_rejects_wide_band():
+    import pytest as _pytest
+    from nsparse_tpu.parallel.halo import partition_banded
+    from nsparse_tpu.io.generate import random_csr
+
+    a = random_csr(64, 64, density=0.3, seed=5)
+    with _pytest.raises(ValueError):
+        partition_banded(a, 8)
+
+
 def test_rap_dist():
     mesh = make_mesh(8)
     n, nc = 64, 24
