@@ -32,6 +32,12 @@ from nsparse_tpu.ops.spgemm import (
     spgemm_plan,
     spgemm_numeric,
 )
+from nsparse_tpu.ops.spgemm_bsr import (
+    BsrSpgemmPlan,
+    choose_spgemm_path,
+    plan_spgemm_bsr,
+    spgemm_bsr,
+)
 from nsparse_tpu.tune.plan import Plan
 from nsparse_tpu.tune.autotune import autotune_spmv
 
@@ -54,6 +60,10 @@ __all__ = [
     "SpgemmPlan",
     "spgemm_plan",
     "spgemm_numeric",
+    "BsrSpgemmPlan",
+    "choose_spgemm_path",
+    "plan_spgemm_bsr",
+    "spgemm_bsr",
     "Plan",
     "autotune_spmv",
 ]

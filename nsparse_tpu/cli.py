@@ -24,7 +24,8 @@ import numpy as np
 
 
 def _load(spec: str, dtype):
-    from nsparse_tpu.io.generate import random_csr, rmat_csr, stencil_csr
+    from nsparse_tpu.io.generate import (fem_block_csr, random_csr, rmat_csr,
+                                         stencil_csr)
     from nsparse_tpu.io.matrix_market import read_mtx
 
     if spec.startswith("gen:"):
@@ -34,6 +35,9 @@ def _load(spec: str, dtype):
             return stencil_csr(int(parts[2]), int(parts[3]), dtype=dtype)
         if kind == "rmat":
             return rmat_csr(int(parts[2]), int(parts[3]), dtype=dtype)
+        if kind == "fem":
+            return fem_block_csr(int(parts[2]), dof=int(parts[3]),
+                                 dtype=dtype)
         if kind == "random":
             return random_csr(int(parts[2]), int(parts[3]), float(parts[4]),
                               dtype=dtype)
@@ -132,7 +136,11 @@ def cmd_spgemm(args):
     import jax
 
     from nsparse_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
-    from nsparse_tpu.utils.checking import (check_spgemm_answer_device,
+    from nsparse_tpu.ops.spgemm_bsr import (choose_spgemm_path,
+                                            plan_spgemm_bsr, spgemm_bsr,
+                                            spgemm_bsr_blocks)
+    from nsparse_tpu.utils.checking import (check_spgemm_answer,
+                                            check_spgemm_answer_device,
                                             spgemm_abs_oracle, spgemm_oracle)
     from nsparse_tpu.utils.roofline import chip_specs, spgemm_roofline_gflops
     from nsparse_tpu.utils.timing import time_fn, gflops
@@ -143,6 +151,31 @@ def cmd_spgemm(args):
     print(f"matrix: {args.matrix}  M={m} N={n} nnz={a.nnz}")
 
     import time
+
+    method = args.method
+    if method == "auto":
+        method = choose_spgemm_path(a, a)
+        print(f"method: {method} (auto)")
+
+    if method == "bsr":
+        t0 = time.perf_counter()
+        plan = plan_spgemm_bsr(a, a)
+        sym_ms = (time.perf_counter() - t0) * 1e3
+        print(f"nnz(A): {a.nnz}  block pairs: {plan.n_pairs}  "
+              f"fill: {plan.fill:.1f}x")
+        print(f"symbolic (block plan): {sym_ms:.1f} ms")
+        fblk = jax.jit(spgemm_bsr_blocks)
+        ms = time_fn(lambda: fblk(plan), trials=args.trials, warmup=1)
+        gf = gflops(plan.flops, ms)
+        mxu_tf = 2 * plan.n_pairs * 128**3 / (ms * 1e-3) / 1e12
+        print(f"SpGEMM bsr: {ms:.4f} ms  {gf:.2f} GFLOPS useful  "
+              f"({mxu_tf:.2f} TFLOPS on the MXU)")
+        c = spgemm_bsr(a, a, plan)
+        ok = check_spgemm_answer(
+            c, spgemm_oracle(a, a), abs_ref=spgemm_abs_oracle(a, a)
+        )
+        print("pass" if ok else "FAIL")
+        return 0 if ok else 1
 
     t0 = time.perf_counter()
     plan = spgemm_plan(a, a)
@@ -221,6 +254,8 @@ def main(argv=None):
     sg = sub.add_parser("spgemm")
     sg.add_argument("matrix")
     sg.add_argument("--trials", type=int, default=11)
+    sg.add_argument("--method", choices=["auto", "esc", "bsr"],
+                    default="auto")
     sg.set_defaults(fn=cmd_spgemm)
 
     sgx = sub.add_parser("spgemm-xla")

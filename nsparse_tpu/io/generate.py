@@ -50,6 +50,45 @@ def stencil_csr(
     return CSR.from_scipy(d.astype(dtype), pad_to=pad_to)
 
 
+def fem_block_csr(
+    n_nodes: int,
+    dof: int = 16,
+    neighbors: int = 6,
+    bandwidth: int = 32,
+    dtype=np.float64,
+    seed: int = 0,
+    pad_to=None,
+) -> CSR:
+    """Multi-DOF FEM-stiffness stand-in: dense (dof, dof) blocks on a
+    banded node graph — the block-clustered structural class where the
+    MXU block-SpGEMM path pays (cant/consph shape, BASELINE.json configs).
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    rows, cols = [np.arange(n_nodes)], [np.arange(n_nodes)]
+    for _ in range(neighbors):
+        off = rng.integers(1, bandwidth, n_nodes)
+        j = np.minimum(np.arange(n_nodes) + off, n_nodes - 1)
+        rows.append(np.arange(n_nodes))
+        cols.append(j)
+        rows.append(j)
+        cols.append(np.arange(n_nodes))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    graph = sp.coo_matrix(
+        (np.ones(r.size), (r, c)), shape=(n_nodes, n_nodes)
+    ).tocsr()
+    graph.sum_duplicates()
+    nnz_blocks = graph.nnz
+    data = rng.standard_normal((nnz_blocks, dof, dof)).astype(dtype)
+    bsr = sp.bsr_matrix(
+        (data, graph.indices, graph.indptr),
+        shape=(n_nodes * dof, n_nodes * dof),
+    )
+    return CSR.from_scipy(bsr.tocsr(), pad_to=pad_to)
+
+
 def rmat_csr(
     scale: int,
     edge_factor: int = 8,

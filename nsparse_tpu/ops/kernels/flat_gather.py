@@ -199,17 +199,18 @@ def flat_gather(
         opad = t * LANES - int(other.shape[0])
         oth2d = jnp.pad(other, (0, opad)).reshape(t, LANES)
 
+    # scalar-prefetch operands live in SMEM (~1 MB); chunk large subsets
+    max_tiles = 65536
     out = jnp.zeros((t, LANES), src.dtype)
     for (kind, param), ids, bases in zip(plan.classes, plan.ids, plan.bases):
-        if not int(ids.shape[0]):
+        n_sub = int(ids.shape[0])
+        if not n_sub:
             continue
-        if kind == "band":
-            out = gather_subset_band(
-                src2, ids, bases, plan.idx2d, oth2d, out, param
-            )
-        else:
-            out = gather_subset_window(
-                src2, ids, bases, plan.idx2d, oth2d, out, param
+        fn = gather_subset_band if kind == "band" else gather_subset_window
+        for s in range(0, n_sub, max_tiles):
+            out = fn(
+                src2, ids[s : s + max_tiles], bases[s : s + max_tiles],
+                plan.idx2d, oth2d, out, param,
             )
     if int(plan.fb_ids.shape[0]):
         rows = (

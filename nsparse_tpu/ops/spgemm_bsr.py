@@ -1,0 +1,284 @@
+"""Block-sparse SpGEMM on the MXU: C = A @ B over dense (128, 128) tiles.
+
+The ESC SpGEMM (``ops/spgemm.py``) is gather-bound — the right general
+answer on TPU, but it leaves the MXU idle.  Matrices whose nonzeros
+cluster into dense-ish blocks (FEM stiffness, multi-DOF meshes — the
+structural class the reference's AMB blocking targets,
+``convert_amb.cu:388-525``) admit a far faster path: blockify A and B,
+plan the block-level product structure on the host (reusing the C++/numpy
+symbolic planner at block granularity), and run one Pallas kernel whose
+grid walks (a_block, b_block -> c_block) pairs sorted by output block —
+consecutive pairs hitting the same C block accumulate in VMEM, so there is
+no scatter at all, and every FLOP is a 128^3 MXU matmul.
+
+Zero fill-in inside blocks is the price (the same trade AMB's tuner makes);
+``plan_spgemm_bsr`` reports the fill ratio so the auto-tuner can choose
+between this and the ESC path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsparse_tpu.formats.csr import CSR
+
+BS = 128  # MXU-native block size
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _blockify(a: CSR, bs: int = BS):
+    """Host: CSR -> (blocks (nb, bs, bs), block_row, block_col) via scipy."""
+    import scipy.sparse as sp
+
+    m, n = a.shape
+    s = a.to_scipy()
+    mp = (m + bs - 1) // bs * bs
+    np_ = (n + bs - 1) // bs * bs
+    s.resize((mp, np_))
+    b = s.tobsr(blocksize=(bs, bs))
+    b.sort_indices()
+    indptr = np.asarray(b.indptr)
+    brow = np.repeat(
+        np.arange(len(indptr) - 1, dtype=np.int32), np.diff(indptr)
+    )
+    return (
+        np.asarray(b.data),
+        brow,
+        np.asarray(b.indices, dtype=np.int32),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BsrSpgemmPlan:
+    """Block-product schedule for C = A @ B on dense tiles.
+
+    Attributes:
+      a_blocks / b_blocks: (nba|nbb, BS, BS) dense tiles.
+      pair_a / pair_b: (npair,) tile indices per block product.
+      pair_c: (npair,) output tile index, NON-DECREASING (accumulation
+        happens by revisiting the same output block on consecutive steps).
+      c_block_row / c_block_col: (nbc,) C tile coordinates.
+      shape: static (M, N) of C; n_block_rows static.
+      fill: stored-slot / true-nnz ratios (cost model for the tuner).
+      flops: true useful FLOPs (2 * intermediate products of the scalar
+        matrices) — the same metric the ESC path reports.
+    """
+
+    a_blocks: jax.Array
+    b_blocks: jax.Array
+    pair_a: jax.Array
+    pair_b: jax.Array
+    pair_c: jax.Array
+    c_block_row: jax.Array
+    c_block_col: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    n_block_rows: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
+    flops: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_pairs(self) -> int:
+        return int(self.pair_a.shape[0])
+
+    @property
+    def n_c_blocks(self) -> int:
+        return int(self.c_block_row.shape[0])
+
+
+def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
+    """Host-side block symbolic phase (block-granular ESC planning)."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+    from nsparse_tpu.ops.spgemm import spgemm_flops
+
+    a_blk, a_brow, a_bcol = _blockify(a, bs)
+    b_blk, b_brow, b_bcol = _blockify(b, bs)
+
+    # block-level product pairs: for each a-block (i,k), every b-block (k,j)
+    import scipy.sparse as sp
+
+    nbr_a = (a.shape[0] + bs - 1) // bs
+    nbc_a = (a.shape[1] + bs - 1) // bs
+    nbc_b = (b.shape[1] + bs - 1) // bs
+    sa = sp.csr_matrix(
+        (np.arange(1, len(a_bcol) + 1), a_bcol, np.concatenate(
+            [[0], np.cumsum(np.bincount(a_brow, minlength=nbr_a))]
+        )),
+        shape=(nbr_a, nbc_a),
+    )
+    sb = sp.csr_matrix(
+        (np.arange(1, len(b_bcol) + 1), b_bcol, np.concatenate(
+            [[0], np.cumsum(np.bincount(b_brow, minlength=nbc_a))]
+        )),
+        shape=(nbc_a, nbc_b),
+    )
+
+    # expand block pairs (i,k),(k,j) sorted by (i, j): reuse the host planner
+    pa, pb, pc = [], [], []
+    crow, ccol = [], []
+    sb_indptr, sb_indices, sb_data = sb.indptr, sb.indices, sb.data
+    c_id = {}
+    pairs = []
+    for i in range(nbr_a):
+        for ap in range(sa.indptr[i], sa.indptr[i + 1]):
+            k = sa.indices[ap]
+            a_id = int(sa.data[ap]) - 1
+            for bp in range(sb_indptr[k], sb_indptr[k + 1]):
+                j = sb_indices[bp]
+                b_id = int(sb_data[bp]) - 1
+                pairs.append((i, int(j), a_id, b_id))
+    pairs.sort()
+    for i, j, a_id, b_id in pairs:
+        key = (i, j)
+        if key not in c_id:
+            c_id[key] = len(c_id)
+            crow.append(i)
+            ccol.append(j)
+        pa.append(a_id)
+        pb.append(b_id)
+        pc.append(c_id[key])
+
+    stored = a_blk.size + b_blk.size
+    true_nnz = a.nnz + b.nnz
+    return BsrSpgemmPlan(
+        a_blocks=jnp.asarray(a_blk),
+        b_blocks=jnp.asarray(b_blk),
+        pair_a=jnp.asarray(np.asarray(pa, np.int32)),
+        pair_b=jnp.asarray(np.asarray(pb, np.int32)),
+        pair_c=jnp.asarray(np.asarray(pc, np.int32)),
+        c_block_row=jnp.asarray(np.asarray(crow, np.int32)),
+        c_block_col=jnp.asarray(np.asarray(ccol, np.int32)),
+        shape=(a.shape[0], b.shape[1]),
+        n_block_rows=nbr_a,
+        fill=stored / max(true_nnz, 1),
+        flops=spgemm_flops(a, b),
+    )
+
+
+def _kern(pa_r, pb_r, pc_r, a_r, b_r, o_r):
+    t = pl.program_id(0)
+    first = jnp.logical_or(
+        t == 0, pc_r[t] != pc_r[jnp.maximum(t - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        o_r[0] = jnp.zeros(o_r.shape[1:], o_r.dtype)
+
+    o_r[0] += jax.lax.dot(
+        a_r[0], b_r[0], precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=o_r.dtype,
+    )
+
+
+def spgemm_bsr_blocks(plan: BsrSpgemmPlan) -> jax.Array:
+    """Numeric phase: (nbc, BS, BS) dense C tiles, pure MXU."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(plan.n_pairs,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, BS, BS), lambda t, pa, pb, pc: (pa[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BS, BS), lambda t, pa, pb, pc: (pb[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BS, BS), lambda t, pa, pb, pc: (pc[t], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_kern),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.n_c_blocks, BS, BS), plan.a_blocks.dtype
+        ),
+        interpret=_interpret(),
+    )(plan.pair_a, plan.pair_b, plan.pair_c, plan.a_blocks, plan.b_blocks)
+
+
+def block_stats(a: CSR, b: CSR, bs: int = BS):
+    """Host-side cost probe: (block_pairs, a_fill, b_fill) at block size bs.
+
+    Used by :func:`choose_spgemm_path` — the analog of the reference's bin
+    dispatch deciding between kernel families by measured row statistics.
+    """
+    import scipy.sparse as sp
+
+    def graph(m):
+        s = m.to_scipy().tocoo()
+        br, bc = s.row // bs, s.col // bs
+        nbr = (m.shape[0] + bs - 1) // bs
+        nbc = (m.shape[1] + bs - 1) // bs
+        g = sp.coo_matrix(
+            (np.ones(len(br)), (br, bc)), shape=(nbr, nbc)
+        ).tocsr()
+        g.sum_duplicates()
+        g.data[:] = 1.0
+        return g
+
+    ga, gb = graph(a), graph(b)
+    pairs = int((ga @ gb).sum())  # sum of products of indicator entries
+    a_fill = ga.nnz * bs * bs / max(a.nnz, 1)
+    b_fill = gb.nnz * bs * bs / max(b.nnz, 1)
+    return pairs, a_fill, b_fill
+
+
+def choose_spgemm_path(a: CSR, b: CSR, bs: int = BS) -> str:
+    """'bsr' when dense-tile MXU matmuls beat the gather-bound ESC path.
+
+    Model (v5e measurements): ESC numeric ~15 ns per intermediate product
+    (gather-bound); block path ~2.5 us per 128^3 block pair (DMA +
+    MXU-bound).  Also require the block fill not to explode memory.
+    """
+    from nsparse_tpu.ops.spgemm import spgemm_flops
+
+    pairs, a_fill, b_fill = block_stats(a, b, bs)
+    if max(a_fill, b_fill) > 64:
+        return "esc"
+    p = spgemm_flops(a, b) // 2
+    esc_ns = p * 15
+    bsr_ns = pairs * 2500
+    return "bsr" if bsr_ns < esc_ns else "esc"
+
+
+def spgemm_bsr(a: CSR, b: CSR, plan: BsrSpgemmPlan | None = None) -> CSR:
+    """C = A @ B through dense block tiles; returns canonical CSR.
+
+    The densification back to CSR runs on the host (the block result is the
+    device product; extraction is I/O-shaped work).
+    """
+    import scipy.sparse as sp
+
+    if plan is None:
+        plan = plan_spgemm_bsr(a, b)
+    blocks = np.asarray(spgemm_bsr_blocks(plan))
+    nbc = (plan.shape[1] + BS - 1) // BS
+    indptr = np.zeros(plan.n_block_rows + 1, np.int64)
+    np.add.at(indptr[1:], np.asarray(plan.c_block_row), 1)
+    np.cumsum(indptr, out=indptr)
+    bsr = sp.bsr_matrix(
+        (blocks, np.asarray(plan.c_block_col), indptr),
+        shape=(plan.n_block_rows * BS, nbc * BS),
+    )
+    out = bsr.tocsr()[: plan.shape[0], : plan.shape[1]].tocsr()
+    out.sum_duplicates()
+    out.sort_indices()
+    out.eliminate_zeros()
+    return CSR.from_scipy(out)
