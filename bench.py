@@ -71,8 +71,8 @@ def main():
     # chain iterations on device: per-dispatch latency on a tunnel-attached
     # chip is milliseconds and would swamp a ~0.2 ms kernel
     ms = time_chained(
-        lambda c, i: spmv_dia(dia, c) * 1e-3 + x, x, iters=50, reps=2
-    )
+        lambda c, i: spmv_dia(dia, c) * 0.124, x, iters=50, reps=2
+    )  # scale keeps |y| bounded across the chain (square matrix)
     spmv_gf = gflops(2.0 * a.nnz, ms)
     spmv_roof = spmv_roofline_gflops(
         a.nnz, *a.shape, val_bytes=4, padded_nnz=dia.padded_nnz, spec=spec

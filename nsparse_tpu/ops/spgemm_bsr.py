@@ -19,7 +19,7 @@ between this and the ESC path.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 from typing import Tuple
 
 import jax
@@ -140,15 +140,34 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
                 b_id = int(sb_data[bp]) - 1
                 pairs.append((i, int(j), a_id, b_id))
     pairs.sort()
+    zero_a, zero_b = len(a_blk), len(b_blk)  # appended zero tiles
+
+    def flush_pad():
+        while len(pa) % PAIRS_PER_STEP:
+            pa.append(zero_a)
+            pb.append(zero_b)
+            pc.append(pc[-1])
+
+    prev_key = None
     for i, j, a_id, b_id in pairs:
         key = (i, j)
         if key not in c_id:
+            if prev_key is not None:
+                flush_pad()  # steps must not straddle C blocks
             c_id[key] = len(c_id)
             crow.append(i)
             ccol.append(j)
+            prev_key = key
         pa.append(a_id)
         pb.append(b_id)
         pc.append(c_id[key])
+    if pa:
+        flush_pad()
+
+    a_blk = np.concatenate([a_blk.reshape(-1, bs, bs),
+                            np.zeros((1, bs, bs), a_blk.dtype)])
+    b_blk = np.concatenate([b_blk.reshape(-1, bs, bs),
+                            np.zeros((1, bs, bs), b_blk.dtype)])
 
     stored = a_blk.size + b_blk.size
     true_nnz = a.nnz + b.nnz
@@ -167,50 +186,88 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
     )
 
 
-def _kern(pa_r, pb_r, pc_r, a_r, b_r, o_r):
+# Pairs per grid step.  Measured on v5e: the kernel is DMA-bandwidth-bound
+# (~70 GB/s effective on 64 KB block fetches), so batching pairs per step
+# only adds pad-pair bytes (each C block's run is padded to a multiple) —
+# 1 is fastest; the machinery stays general for chips where step setup
+# dominates.
+PAIRS_PER_STEP = 1
+
+
+def _kern(pa_r, pb_r, pc_r, *refs):
+    """One grid step = PAIRS_PER_STEP block products.
+
+    The planner pads each C block's pair list to a multiple of
+    PAIRS_PER_STEP (with zero-block pairs), so a step never straddles two
+    C blocks and the output block accumulates in VMEM across steps.
+    """
+    n = PAIRS_PER_STEP
+    a_refs, b_refs, o_r = refs[:n], refs[n : 2 * n], refs[2 * n]
     t = pl.program_id(0)
     first = jnp.logical_or(
-        t == 0, pc_r[t] != pc_r[jnp.maximum(t - 1, 0)]
+        t == 0, pc_r[t * n] != pc_r[jnp.maximum(t * n - 1, 0)]
     )
+
+    acc = jax.lax.dot(
+        a_refs[0][0], b_refs[0][0], precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=o_r.dtype,
+    )
+    for j in range(1, n):
+        acc += jax.lax.dot(
+            a_refs[j][0], b_refs[j][0],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=o_r.dtype,
+        )
 
     @pl.when(first)
     def _():
-        o_r[0] = jnp.zeros(o_r.shape[1:], o_r.dtype)
+        o_r[0] = acc
 
-    o_r[0] += jax.lax.dot(
-        a_r[0], b_r[0], precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=o_r.dtype,
-    )
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_r[0] += acc
 
 
 def spgemm_bsr_blocks(plan: BsrSpgemmPlan) -> jax.Array:
-    """Numeric phase: (nbc, BS, BS) dense C tiles, pure MXU."""
+    """Numeric phase: (nbc, BS, BS) dense C tiles, pure MXU.
+
+    Grid steps cover PAIRS_PER_STEP products each (planner-padded)."""
+    n = PAIRS_PER_STEP
+    assert plan.n_pairs % n == 0
+
+    def a_spec(j):
+        return pl.BlockSpec(
+            (1, BS, BS), lambda t, pa, pb, pc, j=j: (pa[t * n + j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_spec(j):
+        return pl.BlockSpec(
+            (1, BS, BS), lambda t, pa, pb, pc, j=j: (pb[t * n + j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(plan.n_pairs,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, BS, BS), lambda t, pa, pb, pc: (pa[t], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, BS, BS), lambda t, pa, pb, pc: (pb[t], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        grid=(plan.n_pairs // n,),
+        in_specs=[a_spec(j) for j in range(n)]
+        + [b_spec(j) for j in range(n)],
         out_specs=pl.BlockSpec(
-            (1, BS, BS), lambda t, pa, pb, pc: (pc[t], 0, 0),
+            (1, BS, BS), lambda t, pa, pb, pc: (pc[t * n], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(_kern),
+        _kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (plan.n_c_blocks, BS, BS), plan.a_blocks.dtype
         ),
         interpret=_interpret(),
-    )(plan.pair_a, plan.pair_b, plan.pair_c, plan.a_blocks, plan.b_blocks)
+    )(
+        plan.pair_a, plan.pair_b, plan.pair_c,
+        *([plan.a_blocks] * n), *([plan.b_blocks] * n),
+    )
 
 
 def block_stats(a: CSR, b: CSR, bs: int = BS):
