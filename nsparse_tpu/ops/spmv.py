@@ -74,11 +74,27 @@ def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
     y[i] = sum_d vals[d, i] * x[i + off_d]: each term is a contiguous
     (statically shifted) slice of x, so the whole SpMV is sequential HBM
     traffic + VPU multiplies — the speed-of-light path for banded matrices
-    (the structural class AMB's segmentation targets).
+    (the structural class AMB's segmentation targets).  On TPU a fused
+    Pallas kernel streams everything in one pass; the XLA pad+slice chain
+    is the fallback (off-TPU, very wide bands, rectangular tails).
     """
     m, n = a.shape
     mp = a.vals.shape[1]
     offs = a.offsets
+
+    if jax.default_backend() == "tpu" and offs:
+        from nsparse_tpu.ops.kernels.dia_pallas import (
+            TILE_ROWS,
+            spmv_dia_pallas,
+        )
+
+        tr = TILE_ROWS
+        while tr * 128 > mp and tr > 8:
+            tr //= 2
+        span = tr * 128
+        n_tiles = -(-mp // span)
+        if max(abs(o) for o in offs) < span and n <= n_tiles * span:
+            return spmv_dia_pallas(a.vals, offs, x, m)
     lo = min(0, min(offs, default=0))
     hi = max(0, max(offs, default=0))
     # pad x so every shifted read is in range: index i + off + (-lo)
