@@ -29,12 +29,30 @@ from nsparse_tpu.formats.dia import DIA
 from nsparse_tpu.formats.ell import ELL
 
 
-def spmv_csr(a: CSR, x: jax.Array) -> jax.Array:
-    """y = A @ x for CSR — gather + sorted segment-sum."""
+# Pluggable semirings — the role of the reference's Add/Multiply functor
+# templates (cuda-cpp/inc/nsparse_asm.hpp:56-104): (reduce, combine,
+# identity).  The identity fills padded slots and empty rows.
+SEMIRINGS = {
+    "plus_times": (jax.ops.segment_sum, jnp.multiply, 0.0),
+    "min_plus": (jax.ops.segment_min, jnp.add, jnp.inf),
+    "max_plus": (jax.ops.segment_max, jnp.add, -jnp.inf),
+    "max_times": (jax.ops.segment_max, jnp.multiply, -jnp.inf),
+}
+
+
+def spmv_csr(a: CSR, x: jax.Array, semiring: str = "plus_times") -> jax.Array:
+    """y = A (.) x for CSR over a configurable semiring.
+
+    ``plus_times`` is ordinary SpMV; ``min_plus`` is one relaxation step of
+    shortest paths; ``max_times`` is Viterbi-style.  Gather + sorted
+    segmented reduction; padded slots contribute the reduce identity.
+    """
+    reduce_fn, combine, ident = SEMIRINGS[semiring]
     m = a.shape[0]
     rows = a.row_ids()  # padded tail -> m (dropped by num_segments trick)
-    prod = a.val * x[a.col]
-    y = jax.ops.segment_sum(
+    prod = combine(a.val, x[a.col])
+    prod = jnp.where(a.valid_mask(), prod, jnp.asarray(ident, prod.dtype))
+    y = reduce_fn(
         prod, rows, num_segments=m + 1, indices_are_sorted=True
     )
     return y[:m]
@@ -137,7 +155,9 @@ def spmv(a, x: jax.Array, use_pallas: bool | None = None) -> jax.Array:
         return spmv_ell(a, x)
     if isinstance(a, BSR):
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = (
+                jax.default_backend() == "tpu" and a.blocksize == (128, 128)
+            )
         if use_pallas:
             from nsparse_tpu.ops.kernels.spmv_pallas import spmv_bsr_pallas
 

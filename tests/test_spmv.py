@@ -79,8 +79,8 @@ def test_spmv_jit_under_vmap_composes():
 
 def test_spmv_bsr_pallas_interpret():
     """Pallas kernel correctness via interpreter mode (no TPU needed)."""
-    a = stencil_csr(16, 8, dtype=np.float32)
-    b = BSR.from_csr(a, blocksize=(8, 128))
+    a = stencil_csr(16, 16, dtype=np.float32)
+    b = BSR.from_csr(a, blocksize=(128, 128))
     x = _x(a.shape[1], np.float32)
     y = spmv_bsr_pallas(b, x, interpret=True)
     ok, nf = ans_check(np.asarray(y), spmv_oracle(a, x), dtype=np.float32)
@@ -94,3 +94,26 @@ def test_spmv_dispatch():
         y = spmv(fmt, x, use_pallas=False)
         np.testing.assert_allclose(np.asarray(y), spmv_oracle(a, x),
                                    rtol=1e-10)
+
+
+def test_spmv_semirings(rng):
+    """Pluggable semirings (the reference's Add/Multiply functor parity)."""
+    from nsparse_tpu.io.generate import random_csr
+    from nsparse_tpu.ops.spmv import spmv_csr
+
+    a = random_csr(60, 50, density=0.1, seed=11)
+    x = rng.standard_normal(50)
+    s = a.to_scipy()
+    dense = s.toarray()
+    mask = dense != 0
+
+    y = np.asarray(spmv_csr(a, jnp.asarray(x), "min_plus"))
+    ref = np.where(mask, dense + x[None, :], np.inf).min(axis=1)
+    np.testing.assert_allclose(y, ref, rtol=1e-12)
+
+    y = np.asarray(spmv_csr(a, jnp.asarray(x), "max_times"))
+    ref = np.where(mask, dense * x[None, :], -np.inf).max(axis=1)
+    np.testing.assert_allclose(y, ref, rtol=1e-12)
+
+    y = np.asarray(spmv_csr(a, jnp.asarray(x), "plus_times"))
+    np.testing.assert_allclose(y, s @ x, rtol=1e-12)
