@@ -87,6 +87,11 @@ def cmd_spmv(args):
     print(f"conversion/tuning: {conv_ms:.1f} ms  format={plan.format}")
 
     f = jax.jit(lambda fmt, x: spmv(fmt, x))
+    if args.profile:
+        from nsparse_tpu.utils.profiling import profile_op
+
+        _, pms, tdir = profile_op(f, fmt, x, trace_dir=args.profile)
+        print(f"trace written to {tdir} ({pms:.4f} ms/iter)")
     ms = time_fn(lambda: f(fmt, x), trials=args.trials, warmup=1)
     flops = 2.0 * a.nnz
     gf = gflops(flops, ms)
@@ -244,6 +249,8 @@ def main(argv=None):
     sp.add_argument("--trials", type=int, default=101)
     sp.add_argument("--tune-trials", type=int, default=5)
     sp.add_argument("--plan-cache", default=None)
+    sp.add_argument("--profile", default=None, metavar="TRACE_DIR",
+                    help="write a jax.profiler trace of the kernel")
     sp.set_defaults(fn=cmd_spmv)
 
     sx = sub.add_parser("spmv-xla")

@@ -39,11 +39,11 @@ def _flat_shift(arr, s: int):
     lane_part = s % LANES
     row_part = s // LANES
     if lane_part == 0:
-        return pltpu.roll(arr, r - row_part, 0)
+        return pltpu.roll(arr, np.int32(r - row_part), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
-    a = pltpu.roll(arr, LANES - lane_part, 1)
-    b = pltpu.roll(a, (r - row_part) % r, 0)
-    c = pltpu.roll(a, (r - row_part - 1) % r, 0)
+    a = pltpu.roll(arr, np.int32(LANES - lane_part), 1)
+    b = pltpu.roll(a, np.int32((r - row_part) % r), 0)
+    c = pltpu.roll(a, np.int32((r - row_part - 1) % r), 0)
     return jnp.where(lane < LANES - lane_part, b, c)
 
 

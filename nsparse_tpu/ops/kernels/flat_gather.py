@@ -184,7 +184,11 @@ def flat_gather(
 ) -> jax.Array:
     """out[i] = src[idx[i]] (optionally * other[i]); returns flat (n,)."""
     t = plan.idx2d.shape[0]
-    if jax.default_backend() != "tpu" and not FORCE_PALLAS:
+    use_pallas = FORCE_PALLAS or (
+        jax.default_backend() == "tpu" and src.dtype == jnp.float32
+    )
+    if not use_pallas:
+        # off-TPU, or f64 (pallas custom calls cannot carry f64 on TPU)
         out = src[plan.idx2d.reshape(-1)][: plan.n]
         if other is not None:
             out = out * other[: plan.n]

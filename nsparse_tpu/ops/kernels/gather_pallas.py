@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -70,12 +71,12 @@ def _flat_shift_static(aligned, s: int):
         return aligned
     r = aligned.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, aligned.shape, 1)
-    a = pltpu.roll(aligned, (LANES - s % LANES) % LANES, 1)
+    a = pltpu.roll(aligned, np.int32((LANES - s % LANES) % LANES), 1)
     if s % LANES == 0:
-        a_next = pltpu.roll(aligned, r - s // LANES, 0)
+        a_next = pltpu.roll(aligned, np.int32(r - s // LANES), 0)
         return a_next
-    b = pltpu.roll(a, (r - s // LANES) % r, 0)
-    c = pltpu.roll(a, (r - s // LANES - 1) % r, 0)
+    b = pltpu.roll(a, np.int32((r - s // LANES) % r), 0)
+    c = pltpu.roll(a, np.int32((r - s // LANES - 1) % r), 0)
     return jnp.where(lane < LANES - (s % LANES), b, c)
 
 
@@ -93,7 +94,7 @@ def _roll_scan_window(aligned, loc, window: int):
         wg = jnp.broadcast_to(aligned[g : g + 1, :], loc.shape)
         hit = grp == g if window > LANES else None
         for s in range(min(window, LANES)):
-            ws = pltpu.roll(wg, s, 1)
+            ws = pltpu.roll(wg, np.int32(s), 1)
             sel = sub == ((lane - s) % LANES)
             if hit is not None:
                 sel = sel & hit
@@ -303,7 +304,7 @@ def _roll_gather_tile(win, idx, window: int):
         else:
             wb = win
         for s in range(window):
-            ws = pltpu.roll(wb, s, 1)
+            ws = pltpu.roll(wb, np.int32(s), 1)
             acc = acc + jnp.where(
                 (idx % window) == ((lane - s) % window), ws,
                 jnp.zeros_like(acc),
@@ -315,7 +316,7 @@ def _roll_gather_tile(win, idx, window: int):
         wg = win[:, g * LANES : (g + 1) * LANES]
         hit = grp == g
         for s in range(LANES):
-            ws = pltpu.roll(wg, s, 1)
+            ws = pltpu.roll(wg, np.int32(s), 1)
             acc = acc + jnp.where(
                 hit & (sub == ((lane - s) % LANES)), ws,
                 jnp.zeros_like(acc),

@@ -361,8 +361,21 @@ def spgemm_numeric_segsum(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     )
 
 
-def spgemm(a: CSR, b: CSR, plan: SpgemmPlan | None = None) -> CSR:
-    """C = A @ B (the ``spgemm_kernel_hash`` / ``SpGEMM_Hash`` analog)."""
+def spgemm(a: CSR, b: CSR, plan: SpgemmPlan | None = None,
+           method: str = "esc") -> CSR:
+    """C = A @ B (the ``spgemm_kernel_hash`` / ``SpGEMM_Hash`` analog).
+
+    ``method``: "esc" (general sort/scan path), "bsr" (dense-tile MXU path
+    for block-clustered matrices), or "auto" (cost-model dispatch).
+    """
+    if method == "auto":
+        from nsparse_tpu.ops.spgemm_bsr import choose_spgemm_path
+
+        method = choose_spgemm_path(a, b)
+    if method == "bsr":
+        from nsparse_tpu.ops.spgemm_bsr import spgemm_bsr
+
+        return spgemm_bsr(a, b)
     if plan is None:
         plan = spgemm_plan(a, b)
     return spgemm_numeric(plan, a, b)

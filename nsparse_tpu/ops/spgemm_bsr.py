@@ -237,10 +237,23 @@ def _kern(pa_r, pb_r, pc_r, *refs):
 def spgemm_bsr_blocks(plan: BsrSpgemmPlan) -> jax.Array:
     """Numeric phase: (nbc, bs, bs) dense C tiles, pure MXU.
 
-    Grid steps cover PAIRS_PER_STEP products each (planner-padded)."""
+    Grid steps cover PAIRS_PER_STEP products each (planner-padded).
+    f64 takes an XLA batched-matmul + segment-sum formulation (pallas
+    custom calls cannot carry f64 on TPU)."""
     n = PAIRS_PER_STEP
     bs = plan.bs
     assert plan.n_pairs % n == 0
+    if _interpret() is False and plan.a_blocks.dtype != jnp.float32:
+        ga = plan.a_blocks[plan.pair_a]
+        gb = plan.b_blocks[plan.pair_b]
+        prods = jnp.einsum(
+            "kij,kjl->kil", ga, gb,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.ops.segment_sum(
+            prods, plan.pair_c, num_segments=plan.n_c_blocks,
+            indices_are_sorted=True,
+        )
 
     def a_spec(j):
         return pl.BlockSpec(

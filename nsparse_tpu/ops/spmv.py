@@ -100,7 +100,13 @@ def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
     mp = a.vals.shape[1]
     offs = a.offsets
 
-    if jax.default_backend() == "tpu" and offs:
+    # pallas custom calls cannot carry f64 on TPU (XLA's x64-rewrite pass
+    # does not handle them); doubles take the XLA emulated path
+    if (
+        jax.default_backend() == "tpu"
+        and offs
+        and a.vals.dtype == jnp.float32
+    ):
         from nsparse_tpu.ops.kernels.dia_pallas import (
             TILE_ROWS,
             spmv_dia_pallas,
@@ -156,7 +162,9 @@ def spmv(a, x: jax.Array, use_pallas: bool | None = None) -> jax.Array:
     if isinstance(a, BSR):
         if use_pallas is None:
             use_pallas = (
-                jax.default_backend() == "tpu" and a.blocksize == (128, 128)
+                jax.default_backend() == "tpu"
+                and a.blocksize == (128, 128)
+                and a.data.dtype == jnp.float32
             )
         if use_pallas:
             from nsparse_tpu.ops.kernels.spmv_pallas import spmv_bsr_pallas

@@ -113,3 +113,21 @@ def test_dtypes(dtype):
     c = spgemm(a, a)
     ref = spgemm_oracle(a, a)
     assert check_spgemm_answer(c, ref, verbose=True)
+
+
+def test_spgemm_method_auto():
+    """Library-level method dispatch (esc vs MXU block path)."""
+    from nsparse_tpu.formats.csr import CSR
+    from nsparse_tpu.io.generate import fem_block_csr
+    from nsparse_tpu.ops.spgemm import spgemm
+    from nsparse_tpu.utils.checking import (check_spgemm_answer,
+                                            spgemm_abs_oracle, spgemm_oracle)
+
+    base = fem_block_csr(24, dof=8, neighbors=3, bandwidth=6, seed=9)
+    s = base.to_scipy()
+    s.data = np.abs(s.data) + 0.1
+    a = CSR.from_scipy(s)
+    c = spgemm(a, a, method="auto")
+    assert check_spgemm_answer(
+        c, spgemm_oracle(a, a), abs_ref=spgemm_abs_oracle(a, a)
+    )
