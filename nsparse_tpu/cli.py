@@ -72,6 +72,7 @@ def cmd_spmv(args):
     t0 = time.perf_counter()
     if args.format == "auto":
         fmt, plan = autotune_spmv(a, x, trials=args.tune_trials,
+                                  measure=args.tune_mode == "measure",
                                   cache_dir=args.plan_cache)
     else:
         plan = Plan(format=args.format)
@@ -249,6 +250,12 @@ def main(argv=None):
     sp.add_argument("--trials", type=int, default=101)
     sp.add_argument("--tune-trials", type=int, default=5)
     sp.add_argument("--plan-cache", default=None)
+    sp.add_argument("--tune-mode", choices=["model", "measure"],
+                    default="model",
+                    help="tuning objective: modeled HBM footprint (fast; "
+                         "the reference's non-AT mode) or measured time "
+                         "per candidate (the reference's AT mode; compiles "
+                         "every candidate)")
     sp.add_argument("--profile", default=None, metavar="TRACE_DIR",
                     help="write a jax.profiler trace of the kernel")
     sp.set_defaults(fn=cmd_spmv)
