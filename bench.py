@@ -122,8 +122,14 @@ def main():
     log(f"spgemm-bsr: planning M={fem.shape[0]} nnz={fem.nnz}")
     bplan = plan_spgemm_bsr(fem, fem)
     fblk = jax.jit(spgemm_bsr_blocks)
-    log(f"spgemm-bsr: {bplan.n_pairs} block pairs, compiling + 11 trials")
-    ms3 = time_fn(lambda: fblk(bplan), trials=11, warmup=1)
+    log(f"spgemm-bsr: {bplan.n_pairs} block pairs, compiling + chained trials")
+    import dataclasses as _dc
+
+    def _bsr_step(c, i):
+        p = _dc.replace(bplan, a_blocks=bplan.a_blocks + c[0, 0, 0] * 0.0)
+        return spgemm_bsr_blocks(p)
+
+    ms3 = time_chained(_bsr_step, fblk(bplan), iters=20, reps=3)
     fem_gf = gflops(bplan.flops, ms3)
     fem_nnz_c = int((abs(fem.to_scipy()) @ abs(fem.to_scipy())).nnz)
     fem_roof = spgemm_roofline_gflops(
