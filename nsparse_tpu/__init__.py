@@ -24,7 +24,8 @@ from nsparse_tpu.formats.ell import ELL
 from nsparse_tpu.formats.bsr import BSR
 from nsparse_tpu.formats.dia import DIA
 from nsparse_tpu.io.matrix_market import read_mtx, write_mtx
-from nsparse_tpu.ops.spmv import spmv, spmv_csr, spmv_dia, spmv_ell
+from nsparse_tpu.ops.spmv import (spmv, spmv_csr, spmv_dia, spmv_ell,
+                                  spmm, spmm_csr, spmm_bsr)
 from nsparse_tpu.ops.spgemm import (
     spgemm,
     spgemm_flops,
@@ -55,6 +56,9 @@ __all__ = [
     "spmv_csr",
     "spmv_dia",
     "spmv_ell",
+    "spmm",
+    "spmm_csr",
+    "spmm_bsr",
     "spgemm",
     "spgemm_flops",
     "SpgemmPlan",

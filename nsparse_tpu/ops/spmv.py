@@ -86,6 +86,50 @@ def spmv_ell(a: ELL, x: jax.Array) -> jax.Array:
     return y_all[a.pos]
 
 
+def spmm_csr(a: CSR, x: jax.Array) -> jax.Array:
+    """Y = A @ X for a dense (N, K) right-hand side.
+
+    Row gathers of X amortize the per-element cost XLA's 1-D gather pays:
+    each gathered row moves K contiguous values.  The accumulation is the
+    same sorted segment reduction as SpMV.
+    """
+    m = a.shape[0]
+    rows = a.row_ids()
+    prod = a.val[:, None] * x[a.col]  # (cap, K)
+    y = jax.ops.segment_sum(
+        prod, rows, num_segments=m + 1, indices_are_sorted=True
+    )
+    return y[:m]
+
+
+def spmm_bsr(a: BSR, x: jax.Array) -> jax.Array:
+    """Y = A @ X over dense tiles — (br, bc) @ (bc, K) MXU matmuls."""
+    br, bc = a.blocksize
+    n = a.shape[1]
+    k = x.shape[1]
+    nbc = (n + bc - 1) // bc
+    xp = jnp.pad(x, ((0, nbc * bc - n), (0, 0))).reshape(nbc, bc, k)
+    xg = xp[a.block_col]  # (nblocks, bc, K)
+    yb = jnp.einsum(
+        "krc,kcj->krj", a.data, xg.astype(a.data.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=a.data.dtype,
+    )
+    y = jax.ops.segment_sum(
+        yb, a.block_row, num_segments=a.n_block_rows, indices_are_sorted=True
+    )
+    return y.reshape(-1, k)[: a.shape[0]]
+
+
+def spmm(a, x: jax.Array) -> jax.Array:
+    """Multi-vector product Y = A @ X (dense X of shape (N, K))."""
+    if isinstance(a, BSR):
+        return spmm_bsr(a, x)
+    if isinstance(a, CSR):
+        return spmm_csr(a, x)
+    raise TypeError(f"spmm supports CSR/BSR, got {type(a)}")
+
+
 def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
     """y = A @ x for DIA — shifted elementwise FMAs, zero gathers.
 

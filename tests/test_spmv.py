@@ -117,3 +117,17 @@ def test_spmv_semirings(rng):
 
     y = np.asarray(spmv_csr(a, jnp.asarray(x), "plus_times"))
     np.testing.assert_allclose(y, s @ x, rtol=1e-12)
+
+
+def test_spmm_multi_rhs(rng):
+    """Y = A @ X for dense multi-vector right-hand sides."""
+    from nsparse_tpu.ops.spmv import spmm
+
+    a = random_csr(60, 45, density=0.1, seed=13)
+    x = rng.standard_normal((45, 7))
+    y = np.asarray(spmm(a, jnp.asarray(x)))
+    np.testing.assert_allclose(y, a.to_scipy() @ x, rtol=1e-10)
+
+    b = BSR.from_csr(a, blocksize=(8, 128))
+    y2 = np.asarray(spmm(b, jnp.asarray(x)))
+    np.testing.assert_allclose(y2, a.to_scipy() @ x, rtol=1e-10)
