@@ -87,6 +87,13 @@ class SpgemmPlan:
         plan was built on device).
       ends_gp: windowed-gather routing for the segment-end extraction (or
         None when the plan was built on device).
+      uniq_bpos: (u_cap,) sorted unique b-entry indices (B-value sort path).
+      bv_gp: windowed-gather routing for the B-value expansion in
+        bpos-sorted product order: the expansion there is a forward fill,
+        whose fill indices advance ~1 per duplicate group — window-class
+        by construction (or None).
+      bp_rank: (P_pad,) the sorted-order position of each bpos-ordered
+        product; one ``lax.sort`` by this key restores plan order.
       c_rpt: (M+1,) output row pointers.
       c_col: (c_cap,) output column indices (sorted within rows).
       shape: static (M, N) of C.
@@ -100,6 +107,9 @@ class SpgemmPlan:
     ends: jax.Array
     av_gp: object  # Optional[FlatGatherPlan]
     ends_gp: object  # Optional[FlatGatherPlan]
+    uniq_bpos: object  # Optional[jax.Array]
+    bv_gp: object  # Optional[FlatGatherPlan]
+    bp_rank: object  # Optional[jax.Array]
     c_rpt: jax.Array
     c_col: jax.Array
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
@@ -207,6 +217,25 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
 
     apos_p = _pad(apos, p_pad, int(apos[-1]) if apos.size else 0)
     ends_p = _pad(ends, c_cap, p_pad - 1)
+
+    # B-value sort path: in bpos-sorted product order the expansion is a
+    # forward fill of the (sorted unique) B entries — its fill indices
+    # advance by one per duplicate group, so the gather is window-class by
+    # construction; one device sort by the saved rank restores plan order.
+    if p_total:
+        order_bp = np.argsort(bpos, kind="stable")
+        sorted_bpos = bpos[order_bp]
+        starts = np.empty(p_total, dtype=bool)
+        starts[0] = True
+        np.not_equal(sorted_bpos[1:], sorted_bpos[:-1], out=starts[1:])
+        fill_idx = (np.cumsum(starts) - 1).astype(np.int32)
+        uniq = sorted_bpos[starts].astype(np.int32)
+    else:
+        order_bp = np.zeros(0, np.int64)
+        fill_idx = np.zeros(0, np.int32)
+        uniq = np.zeros(0, np.int32)
+    u_cap = _round_up(uniq.size, LANES)
+
     return SpgemmPlan(
         apos=jnp.asarray(apos_p),
         bpos=jnp.asarray(_pad(bpos, p_pad, 0)),
@@ -214,6 +243,13 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
         ends=jnp.asarray(ends_p),
         av_gp=build_flat_gather_plan(apos_p, window=1024),
         ends_gp=build_flat_gather_plan(ends_p, window=1024),
+        uniq_bpos=jnp.asarray(_pad(uniq, u_cap, 0)),
+        bv_gp=build_flat_gather_plan(
+            _pad(fill_idx, p_pad, int(fill_idx[-1]) if fill_idx.size else 0)
+        ),
+        bp_rank=jnp.asarray(
+            _pad(order_bp.astype(np.int32), p_pad, p_pad - 1)
+        ),
         c_rpt=jnp.asarray(c_rpt),
         c_col=jnp.asarray(_pad(c_col, c_cap, 0)),
         shape=(m, n),
@@ -269,6 +305,9 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
         ends=ends,
         av_gp=None,
         ends_gp=None,
+        uniq_bpos=None,
+        bv_gp=None,
+        bp_rank=None,
         c_rpt=c_rpt,
         c_col=c_col,
         shape=(m, n),
@@ -309,7 +348,28 @@ def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
       scan also avoids the catastrophic cancellation a plain cumsum-diff
       would hit at fp32.
     """
-    bv = b.val[plan.bpos]
+    from nsparse_tpu.ops.kernels import flat_gather as _fg
+
+    use_sort_path = plan.bv_gp is not None and (
+        _fg.FORCE_PALLAS
+        or (
+            jax.default_backend() == "tpu"
+            and b.val.dtype == jnp.float32
+        )
+    )
+    if use_sort_path:
+        from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+        # B-value sort path: small gather of the unique entries, windowed
+        # forward-fill expansion in bpos order, one sort back to plan order
+        bu = b.val[plan.uniq_bpos]
+        bv_bp = flat_gather(plan.bv_gp, bu)
+        pad = plan.bp_rank.shape[0] - bv_bp.shape[0]
+        if pad:
+            bv_bp = jnp.pad(bv_bp, (0, pad))
+        _, bv = jax.lax.sort((plan.bp_rank, bv_bp), num_keys=1)
+    else:
+        bv = b.val[plan.bpos]
     if plan.av_gp is not None:
         from nsparse_tpu.ops.kernels.flat_gather import flat_gather
 
