@@ -67,12 +67,13 @@ def main():
         np.random.default_rng(0).standard_normal(a.shape[1]), dtype=dtype
     )
     f = jax.jit(spmv_dia)
-    log(f"spmv: M={a.shape[0]} nnz={a.nnz}, compiling + 100 chained trials")
-    # chain iterations on device: per-dispatch latency on a tunnel-attached
-    # chip is milliseconds and would swamp a ~0.2 ms kernel
+    log(f"spmv: M={a.shape[0]} nnz={a.nnz}, compiling + chained trials")
+    # chained in-jit iterations: stable and conservative (serialized
+    # per-iteration latency).  Pipelined host dispatch can show ~7x less
+    # per call but its overlap depends on runtime queue state.
     ms = time_chained(
         lambda c, i: spmv_dia(dia, c) * 0.124, x, iters=50, reps=2
-    )  # scale keeps |y| bounded across the chain (square matrix)
+    )
     spmv_gf = gflops(2.0 * a.nnz, ms)
     spmv_roof = spmv_roofline_gflops(
         a.nnz, *a.shape, val_bytes=4, padded_nnz=dia.padded_nnz, spec=spec
