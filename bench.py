@@ -137,13 +137,36 @@ def main():
         fem.nnz, fem.nnz, fem_nnz_c, bplan.flops // 2,
         val_bytes=4, spec=spec,
     )
+    # correctness of the headline path: dense C tiles vs scipy, on device
+    log("spgemm-bsr: verifying on device")
+    cb = fblk(bplan)
+    ref_fem = spgemm_oracle(fem, fem)
+    absf = spgemm_abs_oracle(fem, fem)
+    bs = bplan.bs
+    crow = np.asarray(bplan.c_block_row)
+    ccol = np.asarray(bplan.c_block_col)
+    ref_blocks = np.zeros((bplan.n_c_blocks, bs, bs), np.float64)
+    scale_blocks = np.zeros_like(ref_blocks)
+    refd = ref_fem.todense()
+    absd = absf.todense()
+    for t in range(bplan.n_c_blocks):
+        r0, c0 = crow[t] * bs, ccol[t] * bs
+        blk = refd[r0 : r0 + bs, c0 : c0 + bs]
+        ref_blocks[t, : blk.shape[0], : blk.shape[1]] = blk
+        sblk = absd[r0 : r0 + bs, c0 : c0 + bs]
+        scale_blocks[t, : sblk.shape[0], : sblk.shape[1]] = sblk
+    ok_fem, _ = ans_check_device(
+        cb.reshape(-1), ref_blocks.reshape(-1), dtype=dtype,
+        scale=scale_blocks.reshape(-1),
+    )
     extras.update(
         fem_spgemm_gflops=round(fem_gf, 2),
         fem_spgemm_ms=round(ms3, 4),
         fem_block_pairs=bplan.n_pairs,
         fem_mxu_tflops=round(
-            2 * bplan.n_pairs * 128**3 / (ms3 * 1e-3) / 1e12, 2
+            2 * bplan.n_pairs * bplan.bs**3 / (ms3 * 1e-3) / 1e12, 2
         ),
+        fem_ok=bool(ok_fem),
     )
     log(f"spgemm-bsr: {fem_gf:.1f} useful GFLOPS "
         f"({extras['fem_mxu_tflops']} TFLOPS on the MXU)")
@@ -157,7 +180,7 @@ def main():
         **extras,
     }
     print(json.dumps(out))
-    return 0 if (ok_spmv and ok_gemm) else 1
+    return 0 if (ok_spmv and ok_gemm and ok_fem) else 1
 
 
 if __name__ == "__main__":
