@@ -8,6 +8,12 @@ from nsparse_tpu.parallel.halo import (
     shard_x,
     spmv_halo,
 )
+from nsparse_tpu.parallel.spgemm_halo import (
+    HaloSpgemmPlan,
+    rap_halo,
+    spgemm_halo,
+    spgemm_halo_plan,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +26,8 @@ __all__ = [
     "partition_banded",
     "shard_x",
     "spmv_halo",
+    "HaloSpgemmPlan",
+    "rap_halo",
+    "spgemm_halo",
+    "spgemm_halo_plan",
 ]

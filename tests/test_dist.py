@@ -127,3 +127,58 @@ def test_rap_dist():
     ref = (r.to_scipy() @ a.to_scipy() @ p.to_scipy()).tocsr()
     ref.sum_duplicates(); ref.sort_indices()
     assert check_spgemm_answer(got, ref, verbose=True)
+
+
+def test_spgemm_halo():
+    from nsparse_tpu.parallel.spgemm import gather_partitioned
+    from nsparse_tpu.parallel.spgemm_halo import spgemm_halo
+
+    mesh = make_mesh(8)
+    a = stencil_csr(16, 16)
+    ap = partition_rows(a, 8)
+    c = spgemm_halo(ap, ap, mesh)
+    got = gather_partitioned(c)
+    from nsparse_tpu.utils.checking import spgemm_abs_oracle
+
+    assert check_spgemm_answer(
+        got, spgemm_oracle(a, a), abs_ref=spgemm_abs_oracle(a, a),
+        verbose=True,
+    )
+
+
+def test_spgemm_halo_rejects_wide_band():
+    from nsparse_tpu.parallel.spgemm_halo import spgemm_halo_plan
+
+    mesh = make_mesh(8)
+    r = random_csr(64, 64, 0.3, seed=3)
+    rp = partition_rows(r, 8)
+    with pytest.raises(ValueError):
+        spgemm_halo_plan(rp, rp)
+
+
+def test_rap_halo():
+    """R @ A @ P fully sharded with halo exchange only."""
+    import scipy.sparse as sp
+    from nsparse_tpu.formats.csr import CSR
+    from nsparse_tpu.parallel.spgemm import gather_partitioned
+    from nsparse_tpu.parallel.spgemm_halo import rap_halo
+    from nsparse_tpu.utils.checking import spgemm_abs_oracle
+
+    mesh = make_mesh(8)
+    n, nc = 256, 64
+    a = stencil_csr(16, 16)
+    # local aggregation: node i -> aggregate i // 4 (banded R and P)
+    agg = np.arange(n) // (n // nc)
+    p_dense = np.zeros((n, nc))
+    p_dense[np.arange(n), agg] = 1.0
+    p = CSR.from_scipy(sp.csr_matrix(p_dense))
+    r = CSR.from_scipy(sp.csr_matrix(p_dense.T))
+    rp = partition_rows(r, 8)
+    app = partition_rows(a, 8)
+    pp = partition_rows(p, 8)
+    got = gather_partitioned(rap_halo(rp, app, pp, mesh))
+    ref = (r.to_scipy() @ a.to_scipy() @ p.to_scipy()).tocsr()
+    ref.sum_duplicates(); ref.sort_indices()
+    sa = (abs(r.to_scipy()) @ abs(a.to_scipy()) @ abs(p.to_scipy())).tocsr()
+    sa.sum_duplicates(); sa.sort_indices()
+    assert check_spgemm_answer(got, ref, abs_ref=sa, verbose=True)
