@@ -60,7 +60,7 @@ def default_candidates(a: CSR) -> Iterable[Plan]:
     # BSR only pays when block fill-in is sane; probe mean degree first.
     m, n = a.shape
     if a.nnz / max(m, 1) >= 4:  # skip for ultra-sparse rows
-        for bs in ((8, 128), (8, 256)):
+        for bs in ((8, 128), (8, 256), (128, 128)):  # (128,128) = MXU kernel
             cands.append(Plan(format="bsr", blocksize=bs))
     return cands
 
