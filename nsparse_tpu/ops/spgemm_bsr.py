@@ -42,7 +42,12 @@ def _interpret() -> bool:
 
 
 def _blockify(a: CSR, bs: int = BS):
-    """Host: CSR -> (blocks (nb, bs, bs), block_row, block_col) via scipy."""
+    """Host: CSR -> (blocks (nb, bs, bs), block_row, block_col, fill_idx).
+
+    ``fill_idx`` maps every block slot to its source position in the padded
+    CSR value array (or to ``capacity`` — an appended zero) so new values
+    re-blockify ON DEVICE with one planned gather.
+    """
     import scipy.sparse as sp
 
     m, n = a.shape
@@ -56,10 +61,24 @@ def _blockify(a: CSR, bs: int = BS):
     brow = np.repeat(
         np.arange(len(indptr) - 1, dtype=np.int32), np.diff(indptr)
     )
+    # same blockification applied to 1-based source positions gives the
+    # slot -> source map (0 slots are structural padding)
+    si = sp.csr_matrix(
+        (
+            np.arange(1, a.nnz + 1, dtype=np.float64),
+            s.indices,
+            s.indptr,
+        ),
+        shape=(mp, np_),
+    ).tobsr(blocksize=(bs, bs))
+    si.sort_indices()
+    fill = np.asarray(si.data).astype(np.int64) - 1
+    fill[fill < 0] = a.capacity  # appended zero slot
     return (
         np.asarray(b.data),
         brow,
         np.asarray(b.indices, dtype=np.int32),
+        fill.reshape(-1, bs, bs).astype(np.int32),
     )
 
 
@@ -87,6 +106,8 @@ class BsrSpgemmPlan:
     pair_c: jax.Array
     c_block_row: jax.Array
     c_block_col: jax.Array
+    a_fill_gp: object  # FlatGatherPlan: padded A values -> A block slots
+    b_fill_gp: object
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     n_block_rows: int = dataclasses.field(metadata=dict(static=True))
     bs: int = dataclasses.field(metadata=dict(static=True))
@@ -108,8 +129,10 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
     from nsparse_tpu.ops.spgemm import spgemm_flops
 
-    a_blk, a_brow, a_bcol = _blockify(a, bs)
-    b_blk, b_brow, b_bcol = _blockify(b, bs)
+    from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
+
+    a_blk, a_brow, a_bcol, a_fill = _blockify(a, bs)
+    b_blk, b_brow, b_bcol, b_fill = _blockify(b, bs)
 
     # block-level product pairs: for each a-block (i,k), every b-block (k,j)
     import scipy.sparse as sp
@@ -184,6 +207,8 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
         pair_c=jnp.asarray(np.asarray(pc, np.int32)),
         c_block_row=jnp.asarray(np.asarray(crow, np.int32)),
         c_block_col=jnp.asarray(np.asarray(ccol, np.int32)),
+        a_fill_gp=build_flat_gather_plan(a_fill.reshape(-1)),
+        b_fill_gp=build_flat_gather_plan(b_fill.reshape(-1)),
         shape=(a.shape[0], b.shape[1]),
         n_block_rows=nbr_a,
         bs=bs,
@@ -333,6 +358,29 @@ def choose_spgemm_path(a: CSR, b: CSR, bs: int = BS) -> str:
     esc_ns = p * 15
     bsr_ns = pairs * 2500
     return "bsr" if bsr_ns < esc_ns else "esc"
+
+
+def _reblock(fill_gp, val: jax.Array, bs: int, dtype) -> jax.Array:
+    """Device-side re-blockification: padded CSR values -> dense tiles
+    (+ the trailing zero tile the pair padding references)."""
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+    vp = jnp.pad(val.astype(dtype), (0, 1))
+    flat = flat_gather(fill_gp, vp)
+    blocks = flat.reshape(-1, bs, bs)
+    return jnp.concatenate(
+        [blocks, jnp.zeros((1, bs, bs), blocks.dtype)]
+    )
+
+
+def spgemm_bsr_numeric(plan: BsrSpgemmPlan, a: CSR, b: CSR) -> jax.Array:
+    """Values-only re-run (the ``SpGEMM_Hash_Numeric`` analog for the block
+    path): re-blockify new A/B values on device, then the MXU numeric
+    phase.  Returns the dense C tiles (``spgemm_bsr`` densifies to CSR)."""
+    ab = _reblock(plan.a_fill_gp, a.val, plan.bs, plan.a_blocks.dtype)
+    bb = _reblock(plan.b_fill_gp, b.val, plan.bs, plan.b_blocks.dtype)
+    plan2 = dataclasses.replace(plan, a_blocks=ab, b_blocks=bb)
+    return spgemm_bsr_blocks(plan2)
 
 
 def spgemm_bsr(a: CSR, b: CSR, plan: BsrSpgemmPlan | None = None) -> CSR:

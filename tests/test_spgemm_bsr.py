@@ -70,3 +70,27 @@ def test_choose_path():
     assert choose_spgemm_path(graph, graph) == "esc"
     pairs, a_fill, b_fill = block_stats(fem, fem)
     assert pairs > 0 and a_fill < 64
+
+
+def test_bsr_numeric_rerun():
+    """Values-only re-run on the block path (device re-blockify)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from nsparse_tpu.ops.spgemm_bsr import plan_spgemm_bsr, spgemm_bsr, spgemm_bsr_numeric
+
+    base = fem_block_csr(24, dof=8, neighbors=3, bandwidth=6,
+                         dtype=np.float64, seed=2)
+    a = _positive(base)
+    plan = plan_spgemm_bsr(a, a)
+    rng = np.random.default_rng(5)
+    new_val = np.asarray(a.val).copy()
+    new_val[: a.nnz] = np.abs(rng.standard_normal(a.nnz)) + 0.1
+    a2 = dataclasses.replace(a, val=jnp.asarray(new_val))
+    blocks = np.asarray(spgemm_bsr_numeric(plan, a2, a2))
+    # compare with a fresh full run on the new values
+    ref_blocks = np.asarray(
+        __import__("nsparse_tpu.ops.spgemm_bsr", fromlist=["spgemm_bsr_blocks"]).spgemm_bsr_blocks(
+            plan_spgemm_bsr(a2, a2)
+        )
+    )
+    np.testing.assert_allclose(blocks, ref_blocks, rtol=1e-12)
