@@ -194,8 +194,12 @@ def flat_gather(
             out = out * other[: plan.n]
         return out
 
-    # pad src so every (16,128)-block pair the kernels touch is in range
-    pad = _round_up(int(src.shape[0]), 2048) + 4096 - int(src.shape[0])
+    # pad src so every source block the kernels touch is in range: the
+    # banded kernel DMAs 4 x (64,128) blocks starting at base//8192, i.e.
+    # up to base + 32768 elements past the window start
+    pad = (
+        _round_up(int(src.shape[0]), 8192) + 4 * 8192 - int(src.shape[0])
+    )
     src_p = jnp.pad(src, (0, pad))
     src2 = src_p.reshape(-1, LANES)
     oth2d = None

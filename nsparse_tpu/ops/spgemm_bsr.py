@@ -72,13 +72,20 @@ def _blockify(a: CSR, bs: int = BS):
         shape=(mp, np_),
     ).tobsr(blocksize=(bs, bs))
     si.sort_indices()
-    fill = np.asarray(si.data).astype(np.int64) - 1
-    fill[fill < 0] = a.capacity  # appended zero slot
+    fill = np.asarray(si.data).astype(np.int64).reshape(-1, bs * bs) - 1
+    valid = fill >= 0
+    # padding slots point at the block's first real source (keeps each
+    # tile's gather window tight) and are zeroed by the mask
+    big = np.int64(1) << 60
+    minsrc = np.where(valid, fill, big).min(axis=1)
+    minsrc = np.where(minsrc == big, 0, minsrc)
+    fill = np.where(valid, fill, minsrc[:, None])
     return (
         np.asarray(b.data),
         brow,
         np.asarray(b.indices, dtype=np.int32),
         fill.reshape(-1, bs, bs).astype(np.int32),
+        valid.reshape(-1, bs, bs),
     )
 
 
@@ -108,6 +115,8 @@ class BsrSpgemmPlan:
     c_block_col: jax.Array
     a_fill_gp: object  # FlatGatherPlan: padded A values -> A block slots
     b_fill_gp: object
+    a_fill_mask: object  # (slots,) 0/1 — zeroes structural-padding slots
+    b_fill_mask: object
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     n_block_rows: int = dataclasses.field(metadata=dict(static=True))
     bs: int = dataclasses.field(metadata=dict(static=True))
@@ -131,8 +140,8 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
 
     from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
 
-    a_blk, a_brow, a_bcol, a_fill = _blockify(a, bs)
-    b_blk, b_brow, b_bcol, b_fill = _blockify(b, bs)
+    a_blk, a_brow, a_bcol, a_fill, a_mask = _blockify(a, bs)
+    b_blk, b_brow, b_bcol, b_fill, b_mask = _blockify(b, bs)
 
     # block-level product pairs: for each a-block (i,k), every b-block (k,j)
     import scipy.sparse as sp
@@ -209,6 +218,8 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
         c_block_col=jnp.asarray(np.asarray(ccol, np.int32)),
         a_fill_gp=build_flat_gather_plan(a_fill.reshape(-1)),
         b_fill_gp=build_flat_gather_plan(b_fill.reshape(-1)),
+        a_fill_mask=jnp.asarray(a_mask.reshape(-1).astype(np.float32)),
+        b_fill_mask=jnp.asarray(b_mask.reshape(-1).astype(np.float32)),
         shape=(a.shape[0], b.shape[1]),
         n_block_rows=nbr_a,
         bs=bs,
@@ -360,13 +371,13 @@ def choose_spgemm_path(a: CSR, b: CSR, bs: int = BS) -> str:
     return "bsr" if bsr_ns < esc_ns else "esc"
 
 
-def _reblock(fill_gp, val: jax.Array, bs: int, dtype) -> jax.Array:
+def _reblock(fill_gp, mask, val: jax.Array, bs: int, dtype) -> jax.Array:
     """Device-side re-blockification: padded CSR values -> dense tiles
     (+ the trailing zero tile the pair padding references)."""
     from nsparse_tpu.ops.kernels.flat_gather import flat_gather
 
     vp = jnp.pad(val.astype(dtype), (0, 1))
-    flat = flat_gather(fill_gp, vp)
+    flat = flat_gather(fill_gp, vp, other=mask.astype(dtype))
     blocks = flat.reshape(-1, bs, bs)
     return jnp.concatenate(
         [blocks, jnp.zeros((1, bs, bs), blocks.dtype)]
@@ -377,8 +388,12 @@ def spgemm_bsr_numeric(plan: BsrSpgemmPlan, a: CSR, b: CSR) -> jax.Array:
     """Values-only re-run (the ``SpGEMM_Hash_Numeric`` analog for the block
     path): re-blockify new A/B values on device, then the MXU numeric
     phase.  Returns the dense C tiles (``spgemm_bsr`` densifies to CSR)."""
-    ab = _reblock(plan.a_fill_gp, a.val, plan.bs, plan.a_blocks.dtype)
-    bb = _reblock(plan.b_fill_gp, b.val, plan.bs, plan.b_blocks.dtype)
+    ab = _reblock(
+        plan.a_fill_gp, plan.a_fill_mask, a.val, plan.bs, plan.a_blocks.dtype
+    )
+    bb = _reblock(
+        plan.b_fill_gp, plan.b_fill_mask, b.val, plan.bs, plan.b_blocks.dtype
+    )
     plan2 = dataclasses.replace(plan, a_blocks=ab, b_blocks=bb)
     return spgemm_bsr_blocks(plan2)
 
