@@ -86,6 +86,13 @@ def spmv_ell(a: ELL, x: jax.Array) -> jax.Array:
     return y_all[a.pos]
 
 
+def spmv_coo(a, x: jax.Array) -> jax.Array:
+    """y = A @ x for COO (unsorted rows: plain segment_sum)."""
+    m = a.shape[0]
+    prod = jnp.where(a.valid_mask(), a.val * x[a.col], 0)
+    return jax.ops.segment_sum(prod, a.row, num_segments=m)
+
+
 def spmm_csr(a: CSR, x: jax.Array) -> jax.Array:
     """Y = A @ X for a dense (N, K) right-hand side.
 
@@ -197,8 +204,12 @@ def spmv_bsr(a: BSR, x: jax.Array) -> jax.Array:
 
 def spmv(a, x: jax.Array, use_pallas: bool | None = None) -> jax.Array:
     """Format-dispatched SpMV (the ``sf_spmv_amb`` / ``AMB::spmv`` analog)."""
+    from nsparse_tpu.formats.coo import COO
+
     if isinstance(a, CSR):
         return spmv_csr(a, x)
+    if isinstance(a, COO):
+        return spmv_coo(a, x)
     if isinstance(a, DIA):
         return spmv_dia(a, x)
     if isinstance(a, ELL):

@@ -131,3 +131,15 @@ def test_spmm_multi_rhs(rng):
     b = BSR.from_csr(a, blocksize=(8, 128))
     y2 = np.asarray(spmm(b, jnp.asarray(x)))
     np.testing.assert_allclose(y2, a.to_scipy() @ x, rtol=1e-10)
+
+
+def test_spmv_coo(rng):
+    from nsparse_tpu.formats.coo import COO
+    from nsparse_tpu.ops.spmv import spmv
+
+    a = random_csr(40, 30, density=0.15, seed=17)
+    s = a.to_scipy().tocoo()
+    coo = COO.from_arrays(s.row, s.col, s.data, s.shape)
+    x = rng.standard_normal(30)
+    y = np.asarray(spmv(coo, jnp.asarray(x)))
+    np.testing.assert_allclose(y, a.to_scipy() @ x, rtol=1e-10)
