@@ -37,17 +37,10 @@ from nsparse_tpu.ops.kernels.gather_pallas import (
 
 SUPER = BAND_TILE_ROWS * LANES  # banded supertile: 16384 elements
 
-# (kind, param) in increasing per-element cost; classifier picks the first
-# eligible class.  Banded classes route (BAND_TILE_ROWS, 128) supertiles
-# (coarse tiles amortize grid-step DMA setup; the d-span bound tolerates
-# them); window classes route (8, 128) tiles (index locality is local).
-DEFAULT_CLASSES = (
-    ("band", 1),     # aligned copy
-    ("band", 16),
-    ("band", 128),
-    ("win", 128),
-    ("win", 1024),
-)
+# Class ladders come from the chip kernel config (tune/kernelgen.py);
+# banded classes route (BAND_TILE_ROWS, 128) supertiles (coarse tiles
+# amortize grid-step DMA setup; the d-span bound tolerates them), window
+# classes route (8, 128) tiles (index locality is local).
 FORCE_PALLAS = False  # tests set this to exercise the kernels off-TPU
 
 

@@ -37,7 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 TILE_ROWS = 8
 TILE = TILE_ROWS * LANES  # 1024
-SRC_ROWS = 32  # sublane rows of source DMA'd per tile (2 x (16,128) blocks)
 
 
 def _interpret() -> bool:

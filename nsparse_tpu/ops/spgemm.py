@@ -7,12 +7,17 @@ scatter atomics, vector units want contiguous work), so the same two phases
 are recast on sort/scan primitives:
 
 - **symbolic** (analog of ``set_row_nnz``): expand every intermediate
-  product (a_ik, b_kj), sort by (i, j) with ``jax.lax.sort``, and count
-  segment boundaries — deterministic and race-free by construction.
-- **numeric** (analog of ``calculate_value_col_bin``): with the sorted
-  order captured as gather indices, the value computation is just
-  ``segment_sum(a_val[apos] * b_val[bpos], out_pos)`` — two gathers, one
-  multiply, one sorted segment reduction, no sort at all.
+  product (a_ik, b_kj), sort by (i, j), count segment boundaries — on the
+  host (C++/numpy planner) or fully on device (``spgemm_plan_device``,
+  ``jax.lax.sort``); deterministic and race-free by construction.
+- **numeric** (analog of ``calculate_value_col_bin``), all under one jit:
+  A-values ride the planned banded/windowed gather kernels (product order
+  is row-sorted, so apos stays inside each row's slice); B-values are a
+  forward fill in bpos-sorted order (window-class fill indices) followed
+  by one ``lax.sort`` back to plan order; accumulation is a manual
+  Hillis-Steele segmented inclusive scan plus segment-end extraction.
+  Plain-XLA gathers remain as the fp64 / off-TPU / device-plan fallback
+  (``spgemm_numeric_segsum`` keeps the reference-shaped semantics oracle).
 
 The captured :class:`SpgemmPlan` is the analog of both the reference's
 symbolic output *and* its ``SpGEMM_Hash_Numeric`` re-run API
