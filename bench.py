@@ -71,9 +71,17 @@ def main():
     # chained in-jit iterations: stable and conservative (serialized
     # per-iteration latency).  Pipelined host dispatch can show ~7x less
     # per call but its overlap depends on runtime queue state.
-    ms = time_chained(
-        lambda c, i: spmv_dia(dia, c) * 0.124, x, iters=50, reps=2
-    )
+    # 8 dependent SpMVs per loop body amortize the runtime's fixed
+    # per-loop-iteration overhead (~0.2 ms on this runtime) without the
+    # noise of subtracting a separately-measured baseline
+    K = 8
+
+    def _spmv_step(c, i):
+        for _ in range(K):
+            c = spmv_dia(dia, c) * 0.124
+        return c
+
+    ms = time_chained(_spmv_step, x, iters=12, reps=2) / K
     spmv_gf = gflops(2.0 * a.nnz, ms)
     spmv_roof = spmv_roofline_gflops(
         a.nnz, *a.shape, val_bytes=4, padded_nnz=dia.padded_nnz, spec=spec
