@@ -182,3 +182,24 @@ def test_rap_halo():
     sa = (abs(r.to_scipy()) @ abs(a.to_scipy()) @ abs(p.to_scipy())).tocsr()
     sa.sum_duplicates(); sa.sort_indices()
     assert check_spgemm_answer(got, ref, abs_ref=sa, verbose=True)
+
+
+def test_halo_paths_non_divisible_shapes():
+    """195 rows over 8 shards: padded last shard, both halo paths."""
+    from nsparse_tpu.parallel.halo import partition_banded, shard_x, spmv_halo
+    from nsparse_tpu.parallel.spgemm import gather_partitioned
+    from nsparse_tpu.parallel.spgemm_halo import spgemm_halo
+    from nsparse_tpu.utils.checking import ans_check, spgemm_abs_oracle
+
+    a = stencil_csr(15, 13)
+    mesh = make_mesh(8)
+    ap = partition_rows(a, 8)
+    got = gather_partitioned(spgemm_halo(ap, ap, mesh))
+    assert check_spgemm_answer(
+        got, spgemm_oracle(a, a), abs_ref=spgemm_abs_oracle(a, a)
+    )
+    hp = partition_banded(a, 8)
+    x = np.random.default_rng(1).standard_normal(a.shape[1])
+    xs = shard_x(jnp.asarray(x), 8, hp.m_loc)
+    y = np.asarray(spmv_halo(hp, xs, mesh)).reshape(-1)[: a.shape[0]]
+    assert ans_check(y, spmv_oracle(a, x))[0]
