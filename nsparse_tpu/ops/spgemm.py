@@ -92,6 +92,12 @@ class SpgemmPlan:
         plan was built on device).
       ends_gp: windowed-gather routing for the segment-end extraction (or
         None when the plan was built on device).
+      cmp_masks: (n_passes, P_pad // 32) int32 bit-packed move masks for the
+        log-shift compaction that extracts segment totals: pass b moves the
+        value at position p + 2^b into p wherever bit p is set.  Monotone
+        compaction by LSB-first conditional shifts is collision-free (two
+        live elements can never meet: their distance difference is bounded
+        by the unmarked slots strictly between them).
       uniq_bpos: (u_cap,) sorted unique b-entry indices (B-value sort path).
       bv_gp: windowed-gather routing for the B-value expansion in
         bpos-sorted product order: the expansion there is a forward fill,
@@ -112,6 +118,7 @@ class SpgemmPlan:
     ends: jax.Array
     av_gp: object  # Optional[FlatGatherPlan]
     ends_gp: object  # Optional[FlatGatherPlan]
+    cmp_masks: object  # Optional[jax.Array]
     uniq_bpos: object  # Optional[jax.Array]
     bv_gp: object  # Optional[FlatGatherPlan]
     bp_rank: object  # Optional[jax.Array]
@@ -223,6 +230,25 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
     apos_p = _pad(apos, p_pad, int(apos[-1]) if apos.size else 0)
     ends_p = _pad(ends, c_cap, p_pad - 1)
 
+    # compaction masks: move each segment total (sitting at its end
+    # position) left to its rank via LSB-first conditional shifts
+    if c_nnz:
+        ends64 = ends.astype(np.int64)
+        dist = ends64 - np.arange(c_nnz, dtype=np.int64)
+        n_passes = max(int(dist.max()).bit_length(), 1)
+        nbits = (p_pad // 32 + 1) * 32
+        cmp_masks = np.zeros((n_passes, nbits // 32), dtype=np.uint32)
+        for bbit in range(n_passes):
+            sel = (dist >> bbit) & 1 == 1
+            tgt = ends64[sel] - (dist[sel] & ((1 << bbit) - 1)) - (1 << bbit)
+            bits = np.zeros(nbits, dtype=np.uint8)
+            bits[tgt] = 1  # targets are strictly increasing: no duplicates
+            cmp_masks[bbit] = np.packbits(bits, bitorder="little").view(
+                np.uint32
+            )
+    else:
+        cmp_masks = np.zeros((1, p_pad // 32 + 1), dtype=np.uint32)
+
     # B-value sort path: in bpos-sorted product order the expansion is a
     # forward fill of the (sorted unique) B entries — its fill indices
     # advance by one per duplicate group, so the gather is window-class by
@@ -248,6 +274,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
         ends=jnp.asarray(ends_p),
         av_gp=build_flat_gather_plan(apos_p, window=1024),
         ends_gp=build_flat_gather_plan(ends_p, window=1024),
+        cmp_masks=jnp.asarray(cmp_masks.view(np.int32)),
         uniq_bpos=jnp.asarray(_pad(uniq, u_cap, 0)),
         bv_gp=build_flat_gather_plan(
             _pad(fill_idx, p_pad, int(fill_idx[-1]) if fill_idx.size else 0)
@@ -310,6 +337,7 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
         ends=ends,
         av_gp=None,
         ends_gp=None,
+        cmp_masks=None,
         uniq_bpos=None,
         bv_gp=None,
         bp_rank=None,
@@ -336,6 +364,29 @@ def _segmented_inclusive_scan(v: jax.Array, f: jax.Array) -> jax.Array:
         v = v + jnp.where(f, jnp.zeros_like(v), vs)
         f = f | fs
         d *= 2
+    return v
+
+
+def _masked_compaction(v: jax.Array, masks: jax.Array) -> jax.Array:
+    """Move marked elements of ``v`` left to their ranks via LSB-first
+    conditional shifts — a plan-precomputed monotone stream compaction.
+
+    ``masks``: (n_passes, words) int32 bit-packs; pass b's bit p means
+    "position p takes the value from p + 2^b".  Pure shifted streams — no
+    gather/scatter (XLA's gather runs ~0.13 G elem/s on TPU; this runs at
+    memory speed).
+    """
+    n = int(v.shape[0])
+    for b in range(int(masks.shape[0])):
+        w = masks[b].astype(jnp.uint32)
+        bits = (
+            (w[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
+        ).reshape(-1)[:n]
+        step = 1 << b
+        if step >= n:
+            break  # no element can move this far
+        shifted = jnp.concatenate([v[step:], jnp.zeros((step,), v.dtype)])
+        v = jnp.where(bits == 1, shifted, v)
     return v
 
 
@@ -389,7 +440,9 @@ def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
         ]
     )
     ss = _segmented_inclusive_scan(prod, flags)
-    if plan.ends_gp is not None:
+    if plan.cmp_masks is not None:
+        c_val = _masked_compaction(ss, plan.cmp_masks)[: plan.c_capacity]
+    elif plan.ends_gp is not None:
         from nsparse_tpu.ops.kernels.flat_gather import flat_gather
 
         c_val = flat_gather(plan.ends_gp, ss)[: plan.c_capacity]
