@@ -203,4 +203,21 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BaseException as e:  # always emit the one JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "spgemm_numeric_gflops",
+                    "value": 0.0,
+                    "unit": "GFLOPS",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        sys.exit(1)
