@@ -205,7 +205,7 @@ def main():
 if __name__ == "__main__":
     try:
         sys.exit(main())
-    except BaseException as e:  # always emit the one JSON line
+    except Exception as e:  # always emit the one JSON line
         import traceback
 
         traceback.print_exc(file=sys.stderr)
