@@ -237,6 +237,61 @@ def cmd_spgemm_xla(args):
     return 0
 
 
+def cmd_rap(args):
+    """Distributed R @ A @ P demo on a virtual device mesh (forced-CPU when
+    fewer real devices exist) — BASELINE.md config 5's shape."""
+    import os
+
+    import jax
+
+    # the demo runs on a virtual CPU mesh (single-chip deployments have no
+    # real mesh); platform/count must be set before the backend initializes
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}"
+    )
+    jax.config.update("jax_platforms", "cpu")
+    import scipy.sparse as sp
+
+    from nsparse_tpu.formats.csr import CSR
+    from nsparse_tpu.io.generate import stencil_csr
+    from nsparse_tpu.parallel import (
+        make_mesh, partition_rows, rap_halo, gather_partitioned,
+    )
+    from nsparse_tpu.utils.checking import check_spgemm_answer
+
+    d = args.devices
+    mesh = make_mesh(d)
+    n = args.n
+    nc = n // 4
+    a = _load(args.matrix, np.float64) if args.matrix else stencil_csr(
+        int(n ** 0.5), n // int(n ** 0.5)
+    )
+    n = a.shape[0]
+    nc = n // 4
+    agg = np.arange(n) // 4
+    p_dense = sp.csr_matrix(
+        (np.ones(n), (np.arange(n), agg)), shape=(n, nc)
+    )
+    p = CSR.from_scipy(p_dense)
+    r = CSR.from_scipy(p_dense.T.tocsr())
+    print(f"R({nc}x{n}) @ A({n}x{n}, nnz={a.nnz}) @ P({n}x{nc}) "
+          f"over a {d}-device mesh")
+
+    got = gather_partitioned(
+        rap_halo(partition_rows(r, d), partition_rows(a, d),
+                 partition_rows(p, d), mesh)
+    )
+    ref = (r.to_scipy() @ a.to_scipy() @ p.to_scipy()).tocsr()
+    ref.sum_duplicates(); ref.sort_indices()
+    sa = (abs(r.to_scipy()) @ abs(a.to_scipy()) @ abs(p.to_scipy())).tocsr()
+    sa.sum_duplicates(); sa.sort_indices()
+    ok = check_spgemm_answer(got, ref, abs_ref=sa)
+    print(f"halo R.A.P: nnz(RAP)={got.nnz}  "
+          f"{'pass' if ok else 'FAIL'} (all comm = neighbor ppermutes)")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="nsparse_tpu")
     ap.add_argument("--precision", choices=["single", "double"],
@@ -276,6 +331,12 @@ def main(argv=None):
     sgx.add_argument("matrix")
     sgx.add_argument("--trials", type=int, default=11)
     sgx.set_defaults(fn=cmd_spgemm_xla)
+
+    sr = sub.add_parser("rap", help="distributed R.A.P demo over a mesh")
+    sr.add_argument("matrix", nargs="?", default=None)
+    sr.add_argument("--devices", type=int, default=8)
+    sr.add_argument("--n", type=int, default=1024)
+    sr.set_defaults(fn=cmd_rap)
 
     args = ap.parse_args(argv)
     if args.precision == "double":

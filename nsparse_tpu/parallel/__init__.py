@@ -1,7 +1,8 @@
 from nsparse_tpu.parallel.mesh import make_mesh
 from nsparse_tpu.parallel.partition import PartitionedCSR, partition_rows
 from nsparse_tpu.parallel.spmv import spmv_dist
-from nsparse_tpu.parallel.spgemm import spgemm_dist, rap_dist
+from nsparse_tpu.parallel.spgemm import (spgemm_dist, rap_dist,
+                                          gather_partitioned)
 from nsparse_tpu.parallel.halo import (
     BandedPartitionedCSR,
     partition_banded,
@@ -22,6 +23,7 @@ __all__ = [
     "spmv_dist",
     "spgemm_dist",
     "rap_dist",
+    "gather_partitioned",
     "BandedPartitionedCSR",
     "partition_banded",
     "shard_x",
