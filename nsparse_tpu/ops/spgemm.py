@@ -273,7 +273,7 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
         out_pos=jnp.asarray(_pad(out_pos, p_pad, c_cap)),
         ends=jnp.asarray(ends_p),
         av_gp=build_flat_gather_plan(apos_p, window=1024),
-        ends_gp=build_flat_gather_plan(ends_p, window=1024),
+        ends_gp=None,  # superseded by cmp_masks (log-shift compaction)
         cmp_masks=jnp.asarray(cmp_masks.view(np.int32)),
         uniq_bpos=jnp.asarray(_pad(uniq, u_cap, 0)),
         bv_gp=build_flat_gather_plan(
