@@ -118,9 +118,12 @@ def main():
     log(f"spgemm-bsr: {fem_gf:.1f} useful GFLOPS "
         f"({extras['fem_mxu_tflops']} TFLOPS on the MXU)")
 
-    ok_spmv = ok_gemm = True  # extras default to pass when skipped
+    # None = check skipped (deadline): recorded as "skipped" in the JSON and
+    # excluded from rc — a deadline-starved run must not read as a pass.
+    ok_spmv = ok_gemm = None
     if over_budget():
         log(f"over budget ({DEADLINE_S:.0f}s) after the headline metric; skipping extras")
+        extras.update(spmv_skipped=True)
     else:
         # --- SpMV on a banded stencil (cant/pwtk structural class) ------------
         # The tuner picks DIA for this structural class (pure shifted FMAs, no
@@ -162,7 +165,11 @@ def main():
         log(f"spmv: {spmv_gf:.1f} GFLOPS ({spmv_gf / spmv_roof:.0%} roofline) ok={ok_spmv}")
 
 
-    if not over_budget():
+    if over_budget():
+        if "spmv_skipped" not in extras:
+            log("over budget; skipping the general-SpGEMM extra")
+        extras.update(spgemm_skipped=True)
+    else:
         # --- SpGEMM C = A^2 on a skewed graph ---------------------------------
         g = rmat_csr(14, edge_factor=8, dtype=dtype, seed=1)
         log(f"spgemm: planning M={g.shape[0]} nnz={g.nnz}")
@@ -199,7 +206,8 @@ def main():
         **extras,
     }
     print(json.dumps(out))
-    return 0 if (ok_spmv and ok_gemm and ok_fem) else 1
+    ran = [ok for ok in (ok_spmv, ok_gemm, ok_fem) if ok is not None]
+    return 0 if all(ran) else 1
 
 
 if __name__ == "__main__":

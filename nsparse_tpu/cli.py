@@ -173,7 +173,7 @@ def cmd_spgemm(args):
         fblk = jax.jit(spgemm_bsr_blocks)
         ms = time_fn(lambda: fblk(plan), trials=args.trials, warmup=1)
         gf = gflops(plan.flops, ms)
-        mxu_tf = 2 * plan.n_pairs * 128**3 / (ms * 1e-3) / 1e12
+        mxu_tf = 2 * plan.n_pairs * plan.bs**3 / (ms * 1e-3) / 1e12
         print(f"SpGEMM bsr: {ms:.4f} ms  {gf:.2f} GFLOPS useful  "
               f"({mxu_tf:.2f} TFLOPS on the MXU)")
         c = spgemm_bsr(a, a, plan)
@@ -226,7 +226,6 @@ def cmd_spgemm_xla(args):
         shape=(m, n),
     )
     flop = spgemm_flops(a, a)
-    spinfo = jsparse.BCOO((bcoo.data, bcoo.indices), shape=(m, n))
     f = jax.jit(lambda l, r: (l @ r).data)
     try:
         ms = time_fn(lambda: f(bcoo, bcoo), trials=args.trials, warmup=1)

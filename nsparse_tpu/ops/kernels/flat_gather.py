@@ -105,6 +105,13 @@ def build_flat_gather_plan(
         from nsparse_tpu.tune.kernelgen import kernel_config
 
         classes = kernel_config().gather_classes
+    for kind, param in classes:
+        # the roll-scan kernel scans groups of 128 lanes; windows below 128
+        # or not a multiple of 128 would silently drop gathers
+        if kind != "band" and (param < LANES or param % LANES):
+            raise ValueError(
+                f"window class {param} must be a multiple of {LANES}"
+            )
     idx = np.asarray(idx, dtype=np.int32).reshape(-1)
     n = idx.size
     np_pad = _round_up(max(n, 1), SUPER)

@@ -489,8 +489,13 @@ def spgemm(a: CSR, b: CSR, plan: SpgemmPlan | None = None,
     if method == "auto":
         from nsparse_tpu.ops.spgemm_bsr import choose_spgemm_path
 
-        method = choose_spgemm_path(a, b)
+        method = choose_spgemm_path(a, b) if plan is None else "esc"
     if method == "bsr":
+        if plan is not None:
+            raise ValueError(
+                "a precomputed ESC plan was supplied with method='bsr'; "
+                "use method='esc' (or 'auto') to reuse it"
+            )
         from nsparse_tpu.ops.spgemm_bsr import spgemm_bsr
 
         return spgemm_bsr(a, b)

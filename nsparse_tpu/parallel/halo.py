@@ -123,16 +123,22 @@ def spmv_halo(
 
     def shard_fn(rpt, col, val, xs):
         x_loc = xs[0]
-        # left neighbor's tail -> my left halo; right neighbor's head -> right
-        src_dst_up = [(i, (i + 1) % nd) for i in range(nd)]
-        src_dst_dn = [(i, (i - 1) % nd) for i in range(nd)]
-        left = jax.lax.ppermute(x_loc[-halo:], axis, src_dst_up)
-        right = jax.lax.ppermute(x_loc[:halo], axis, src_dst_dn)
-        # edge shards read zeros beyond the global range
-        d = jax.lax.axis_index(axis)
-        left = jnp.where(d == 0, jnp.zeros_like(left), left)
-        right = jnp.where(d == nd - 1, jnp.zeros_like(right), right)
-        x_ext = jnp.concatenate([left, x_loc, right])
+        if halo == 0:
+            # pure-diagonal matrix: nothing to exchange (x_loc[-0:] would
+            # alias the WHOLE shard and misalign the rebased columns)
+            x_ext = x_loc
+        else:
+            # left neighbor's tail -> my left halo; right neighbor's head ->
+            # my right halo
+            src_dst_up = [(i, (i + 1) % nd) for i in range(nd)]
+            src_dst_dn = [(i, (i - 1) % nd) for i in range(nd)]
+            left = jax.lax.ppermute(x_loc[-halo:], axis, src_dst_up)
+            right = jax.lax.ppermute(x_loc[:halo], axis, src_dst_dn)
+            # edge shards read zeros beyond the global range
+            d = jax.lax.axis_index(axis)
+            left = jnp.where(d == 0, jnp.zeros_like(left), left)
+            right = jnp.where(d == nd - 1, jnp.zeros_like(right), right)
+            x_ext = jnp.concatenate([left, x_loc, right])
 
         idx = jnp.arange(col.shape[1], dtype=jnp.int32)
         rows = (

@@ -100,6 +100,26 @@ def test_spmv_halo():
     np.testing.assert_allclose(y, spmv_oracle(a, x), rtol=1e-10)
 
 
+def test_spmv_halo_diagonal():
+    # pure-diagonal matrix: halo == 0; x_loc[-0:] would alias the whole
+    # shard and misalign the rebased columns (advisor round-1 finding)
+    from nsparse_tpu.formats.csr import CSR
+    from nsparse_tpu.parallel.halo import partition_banded, shard_x, spmv_halo
+    import scipy.sparse as sp
+
+    m = 32
+    d = np.arange(1.0, m + 1.0)
+    a = CSR.from_scipy(sp.diags(d).tocsr())
+    ap = partition_banded(a, 4)
+    assert ap.halo == 0
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(m)
+    xs = shard_x(jnp.asarray(x), 4, ap.m_loc)
+    y = np.asarray(spmv_halo(ap, xs, mesh)).reshape(-1)[:m]
+    np.testing.assert_allclose(y, d * x, rtol=1e-10)
+
+
 def test_partition_banded_rejects_wide_band():
     import pytest as _pytest
     from nsparse_tpu.parallel.halo import partition_banded
