@@ -24,7 +24,7 @@ _lib = None
 _build_failed = False
 
 
-_SOURCES = ("mmio.cpp", "planner.cpp")
+_SOURCES = ("mmio.cpp", "planner.cpp", "shuffle.cpp")
 
 
 def _build() -> bool:
@@ -92,8 +92,54 @@ def get_lib():
             _i32, _i32, _i64,            # c_rpt, c_col, prodoff scratch
             ctypes.c_int64,              # P
         ]
+        lib.nsp_clos_route_slack.restype = ctypes.c_int64
+        lib.nsp_clos_route_slack.argtypes = [
+            _i32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # src,R,Cu,Cs
+            _i32, _i32, _i32,                      # s1, s2, s3
+        ]
+        lib.nsp_benes_route.restype = ctypes.c_int64
+        lib.nsp_benes_route.argtypes = [
+            _i32, ctypes.c_int64, ctypes.c_int64,  # perms, W, n_tiles
+            _i32,                                  # mask32
+        ]
         _lib = lib
         return _lib
+
+
+def clos_route_slack(src: np.ndarray, R: int, Cu: int, Cs: int | None = None):
+    """Greedy slack-Clos decomposition of the gather permutation ``out[i] =
+    x[src[i]]`` over an (R, Cu) grid with a Cs-wide middle layer — see
+    shuffle.cpp.  Cs >= 2*Cu is pure greedy; tighter middles use Paull
+    rearrangement.  Returns (s1, s2, s3) row-local gather permutations of
+    widths (Cs, R, Cs), or None when the lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    assert src.size == R * Cu, (src.size, R, Cu)
+    cs = Cs or 2 * Cu
+    s1 = np.empty(R * cs, dtype=np.int32)
+    s2 = np.empty(cs * R, dtype=np.int32)
+    s3 = np.empty(R * cs, dtype=np.int32)
+    rc = lib.nsp_clos_route_slack(src, R, Cu, cs, s1, s2, s3)
+    if rc != 0:
+        raise ValueError(f"clos_route_slack: rc={rc} grid ({R}, {Cu}, {cs})")
+    return s1.reshape(R, cs), s2.reshape(cs, R), s3.reshape(R, cs)
+
+
+def benes_route(perms: np.ndarray, W: int):
+    """Benes stage masks for ``n_tiles`` concatenated W-wire gather
+    permutations.  Returns (n_tiles, W) int32 masks (bit t = swap with the
+    partner at stage-t XOR distance), or None when the lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    perms = np.ascontiguousarray(perms, dtype=np.int32).reshape(-1, W)
+    n_tiles = perms.shape[0]
+    mask = np.empty((n_tiles, W), dtype=np.int32)
+    if lib.nsp_benes_route(perms.reshape(-1), W, n_tiles, mask.reshape(-1)) != 0:
+        raise ValueError(f"benes_route: bad width {W}")
+    return mask
 
 
 def spgemm_plan_host(rpt_a, col_a, deg_a, rpt_b, col_b, deg_b, m, n, nnz_a):

@@ -30,6 +30,7 @@ from nsparse_tpu.ops.kernels.gather_pallas import (
     LANES,
     TILE,
     TILE_ROWS,
+    WIN_SUB,
     gather_subset_band,
     gather_subset_window,
     scatter_tiles,
@@ -85,7 +86,7 @@ class FlatGatherPlan:
         tiles_per_super = SUPER // TILE
         out = {}
         for (k, p), i in zip(self.classes, self.ids):
-            mult = tiles_per_super if k == "band" else 1
+            mult = tiles_per_super if k == "band" else WIN_SUB
             out[f"{k}{p}"] = int(i.shape[0]) * mult / t
         out["fallback"] = int(self.fb_ids.shape[0]) / t
         return out
@@ -115,12 +116,13 @@ def build_flat_gather_plan(
     idx = np.asarray(idx, dtype=np.int32).reshape(-1)
     n = idx.size
     np_pad = _round_up(max(n, 1), SUPER)
-    idxp = np.zeros(np_pad, dtype=np.int32)
+    idxp = np.full(np_pad, -1, dtype=np.int32)
     idxp[:n] = idx
-    if n:
-        idxp[n:] = idx[n - 1]  # pad with a valid index
 
-    valid = np.arange(np_pad, dtype=np.int64) < n
+    # sentinel slots (idx == -1) contribute zero: excluded from the span
+    # analysis here; the roll-scan kernels produce 0 for them (no shift
+    # matches) and the fallback path masks them.
+    valid = (np.arange(np_pad, dtype=np.int64) < n) & (idxp >= 0)
 
     def masked_span(arr2d, mask2d):
         big = np.int64(1) << 60
@@ -153,20 +155,43 @@ def build_flat_gather_plan(
         ids.append(jnp.asarray(np.nonzero(ok)[0].astype(np.int32)))
         bases.append(jnp.asarray(dlo[ok].astype(np.int32)))
 
-    # window classes at 8-row tile granularity on the remaining supertiles
+    # window classes at WIN_SUB-tile supertile granularity (batched grid
+    # steps amortize the ~1us/step cost); every subtile carries its own
+    # base, and a supertile qualifies for the smallest class covering ALL
+    # its valid subtiles
     t3 = idxp.reshape(-1, TILE).astype(np.int64)
     v3 = valid.reshape(-1, TILE)
     tiles_per_super = SUPER // TILE
     tile_open = np.repeat(~super_assigned & any_valid_super, tiles_per_super)
-    tile_open &= v3.any(axis=1)
+    tile_has = v3.any(axis=1)
     lo, hi = masked_span(t3, v3)
-    assigned = ~tile_open
+    span = np.where(tile_has, hi - lo, 0)
+    base_tile = np.where(tile_has, lo, 0).astype(np.int64)
+
+    ws2 = span.reshape(-1, WIN_SUB)
+    wopen2 = tile_open.reshape(-1, WIN_SUB)
+    whas2 = tile_has.reshape(-1, WIN_SUB)
+    # band routing is 16-tile granular and WIN_SUB divides that, so
+    # open-ness is uniform within a window supertile; content-free
+    # subtiles ride along (their sentinel indices yield zeros)
+    w_open = wopen2.any(axis=1) & whas2.any(axis=1)
+    w_span = np.where(whas2, ws2, 0).max(axis=1)
+    w_assigned = ~w_open
     for _, param in win_classes:
-        ok = (~assigned) & (hi - lo < param)
-        assigned |= ok
-        ids.append(jnp.asarray(np.nonzero(ok)[0].astype(np.int32)))
-        bases.append(jnp.asarray(lo[ok].astype(np.int32)))
-    fb_ids = np.nonzero(~assigned)[0].astype(np.int32)
+        ok = (~w_assigned) & (w_span < param)
+        w_assigned |= ok
+        sids = np.nonzero(ok)[0].astype(np.int32)
+        ids.append(jnp.asarray(sids))
+        bases.append(
+            jnp.asarray(
+                base_tile.reshape(-1, WIN_SUB)[ok].reshape(-1).astype(
+                    np.int32
+                )
+            )
+        )
+    # tiles not covered by any class take XLA's gather
+    covered = np.repeat(w_assigned & w_open, WIN_SUB) | ~tile_open
+    fb_ids = np.nonzero(~covered & tile_has)[0].astype(np.int32)
 
     ordered = tuple(band_classes) + tuple(win_classes)
     return FlatGatherPlan(
@@ -188,8 +213,12 @@ def flat_gather(
         jax.default_backend() == "tpu" and src.dtype == jnp.float32
     )
     if not use_pallas:
-        # off-TPU, or f64 (pallas custom calls cannot carry f64 on TPU)
-        out = src[plan.idx2d.reshape(-1)][: plan.n]
+        # off-TPU, or f64 (pallas custom calls cannot carry f64 on TPU);
+        # sentinel indices (-1) contribute zero
+        flat_idx = plan.idx2d.reshape(-1)
+        out = jnp.where(
+            flat_idx >= 0, src[jnp.clip(flat_idx, 0)], 0
+        )[: plan.n].astype(src.dtype)
         if other is not None:
             out = out * other[: plan.n]
         return out
@@ -214,19 +243,28 @@ def flat_gather(
         n_sub = int(ids.shape[0])
         if not n_sub:
             continue
-        fn = gather_subset_band if kind == "band" else gather_subset_window
-        for s in range(0, n_sub, max_tiles):
-            out = fn(
-                src2, ids[s : s + max_tiles], bases[s : s + max_tiles],
-                plan.idx2d, oth2d, out, param,
-            )
+        if kind == "band":
+            for s in range(0, n_sub, max_tiles):
+                out = gather_subset_band(
+                    src2, ids[s : s + max_tiles], bases[s : s + max_tiles],
+                    plan.idx2d, oth2d, out, param,
+                )
+        else:
+            for s in range(0, n_sub, max_tiles):
+                out = gather_subset_window(
+                    src2, ids[s : s + max_tiles],
+                    bases[s * WIN_SUB : (s + max_tiles) * WIN_SUB],
+                    plan.idx2d, oth2d, out, param,
+                )
     if int(plan.fb_ids.shape[0]):
         rows = (
             plan.fb_ids[:, None] * TILE_ROWS
             + jnp.arange(TILE_ROWS, dtype=jnp.int32)[None, :]
         ).reshape(-1)
         fb_idx = jnp.take(plan.idx2d, rows, axis=0)
-        fb_vals = src_p[fb_idx]
+        fb_vals = jnp.where(
+            fb_idx >= 0, src_p[jnp.clip(fb_idx, 0)], 0
+        ).astype(src.dtype)
         if oth2d is not None:
             fb_vals = fb_vals * jnp.take(oth2d, rows, axis=0)
         out = scatter_tiles(out, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS)

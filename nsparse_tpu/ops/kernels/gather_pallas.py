@@ -170,9 +170,18 @@ def _subset_call(
     )(*args)
 
 
-def _make_window_kern(window: int, fused: bool, n_src: int):
+WIN_SUB = 8  # (8,128) subtiles per window supertile (one grid step)
+
+
+def _make_window_kern(window: int, fused: bool, n_src: int, win_sub: int):
+    """Window kernel over one supertile = ``win_sub`` subtiles, each with
+    its own base and source blocks — batching amortizes the ~1us
+    per-grid-step cost that dominates at (8,128) granularity.  (Interpret
+    mode uses win_sub=1: the 8x-unrolled kernel jaxpr makes the HLO
+    interpreter's recursive trace pathologically slow.)"""
+
     def kern(ids_r, bases_r, *rest):
-        srcs, rest = rest[:n_src], rest[n_src:]
+        srcs, rest = rest[: n_src * win_sub], rest[n_src * win_sub:]
         if fused:
             idx_r, oth_r, alias_r, out_r = rest
         else:
@@ -180,12 +189,20 @@ def _make_window_kern(window: int, fused: bool, n_src: int):
             oth_r = None
         del alias_r
         i = pl.program_id(0)
-        base = bases_r[i]
-        blk = jnp.concatenate([s[:] for s in srcs], axis=0)
-        aligned = _flat_align(blk, base % (srcs[0].shape[0] * LANES))
-        loc = idx_r[:] - base
-        g = _roll_scan_window(aligned, loc, window)
-        out_r[:] = g if oth_r is None else oth_r[:] * g
+        for k in range(win_sub):
+            base = bases_r[i * win_sub + k]
+            blk = jnp.concatenate(
+                [srcs[n_src * k + j][:] for j in range(n_src)], axis=0
+            )
+            aligned = _flat_align(blk, base % (srcs[0].shape[0] * LANES))
+            loc = idx_r[k * TILE_ROWS:(k + 1) * TILE_ROWS] - base
+            g = _roll_scan_window(aligned, loc, window)
+            # sentinel indices (idx == -1) contribute zero; without the
+            # mask their negative loc aliases a shift through the % wrap
+            g = jnp.where(loc >= 0, g, jnp.zeros_like(g))
+            if oth_r is not None:
+                g = oth_r[k * TILE_ROWS:(k + 1) * TILE_ROWS] * g
+            out_r[k * TILE_ROWS:(k + 1) * TILE_ROWS] = g
 
     return kern
 
@@ -214,14 +231,62 @@ def _make_band_kern(band: int, fused: bool, n_src: int):
 
 
 def gather_subset_window(src2, ids, bases, idx, other, out, window: int):
-    """Windowed gather over the (8-row) tile subset ``ids``; out donated.
+    """Windowed gather over the supertile subset ``ids`` (units of
+    WIN_SUB * 8 rows); ``bases`` holds one base per subtile; out donated.
 
-    Source DMA: 2 x (16, 128) blocks — covers any 1024-wide window."""
-    kern = _make_window_kern(window, other is not None, n_src=2)
-    return _subset_call(
-        kern, int(ids.shape[0]), src2, ids, bases, idx, other, out,
-        tile_rows=TILE_ROWS, src_rows=16, n_src=2,
+    Source DMA per subtile: 2 x (16, 128) blocks — covers any 1024-wide
+    window."""
+    n_src = 2
+    src_rows = 16
+    span = src_rows * LANES
+    win_sub = 1 if _interpret() else WIN_SUB
+    if win_sub == 1 and WIN_SUB > 1:
+        # expand supertile ids to subtile ids (bases are already per
+        # subtile in matching order)
+        ids = (
+            ids[:, None] * WIN_SUB
+            + jnp.arange(WIN_SUB, dtype=ids.dtype)[None, :]
+        ).reshape(-1)
+    kern = _make_window_kern(
+        window, other is not None, n_src=n_src, win_sub=win_sub
     )
+    block_rows = win_sub * TILE_ROWS
+
+    def mk_src(k, j):
+        return pl.BlockSpec(
+            (src_rows, LANES),
+            lambda i, ids, bases, k=k, j=j: (
+                bases[i * win_sub + k] // span + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def big_tile():
+        return pl.BlockSpec(
+            (block_rows, LANES), lambda i, ids, bases: (ids[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [mk_src(k, j) for k in range(win_sub) for j in range(n_src)]
+    in_specs.append(big_tile())  # idx
+    args = [ids, bases] + [src2] * (n_src * win_sub) + [idx]
+    if other is not None:
+        in_specs.append(big_tile())
+        args.append(other)
+    in_specs.append(big_tile())  # aliased output as input
+    args.append(out)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(int(ids.shape[0]),),
+        in_specs=in_specs,
+        out_specs=big_tile(),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        input_output_aliases={len(args) - 1: 0},
+        interpret=_interpret(),
+    )(*args)
 
 
 BAND_TILE_ROWS = 128  # supertile rows for the banded class

@@ -104,7 +104,24 @@ class SpgemmPlan:
         whose fill indices advance ~1 per duplicate group — window-class
         by construction (or None).
       bp_rank: (P_pad,) the sorted-order position of each bpos-ordered
-        product; one ``lax.sort`` by this key restores plan order.
+        product; one ``lax.sort`` by this key restores plan order (the
+        fallback when no routed shuffle is available).
+      bv_shuffle: routed planned-shuffle (bpos order -> plan order,
+        ``ops/kernels/shuffle_pallas.py``) replacing that ``lax.sort``
+        at a fraction of its cost; or None.
+      slab_shuffle: routed planned-shuffle (bpos order -> bin-padded slab
+        order).  The slab path replaces the segmented scan + compaction
+        with per-class padded reductions — the repo's realization of the
+        reference's FLOP binning driving execution
+        (``kernel_spgemm_hash_d.cu:1077-1185``); or None.
+      av_slab_gp: windowed-gather routing for a.val at slab slots (pad
+        slots point at an in-window A entry; their product is zero because
+        the shuffled bv pads are zero).
+      lvl_idx: per level >= 2, gather indices (sentinel -1 = zero) from the
+        previous level's chunk-class sums into this level's slab.
+      asm_shuffle: routed planned-shuffle assembling c_val from the
+        concatenation of every level's class sums.
+      slab_levels: static ((L, count), ...) per level.
       c_rpt: (M+1,) output row pointers.
       c_col: (c_cap,) output column indices (sorted within rows).
       shape: static (M, N) of C.
@@ -122,11 +139,19 @@ class SpgemmPlan:
     uniq_bpos: object  # Optional[jax.Array]
     bv_gp: object  # Optional[FlatGatherPlan]
     bp_rank: object  # Optional[jax.Array]
+    bv_shuffle: object  # Optional[ShufflePlan]
+    slab_shuffle: object  # Optional[ShufflePlan]
+    av_slab_gp: object  # Optional[FlatGatherPlan]
+    lvl_idx: object  # Tuple[jax.Array, ...]
+    asm_shuffle: object  # Optional[ShufflePlan]
     c_rpt: jax.Array
     c_col: jax.Array
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     c_nnz: int = dataclasses.field(metadata=dict(static=True))
     n_products: int = dataclasses.field(metadata=dict(static=True))
+    slab_levels: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
     @property
     def c_capacity(self) -> int:
@@ -179,7 +204,181 @@ def _expand_sort(a: CSR, b: CSR, p_pad: int):
 _expand_sort_jit = jax.jit(_expand_sort, static_argnums=2)
 
 
-def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
+CHUNK = 512  # slab chunk width: entries with more products are split
+
+
+def _ceil_pow2(x: np.ndarray) -> np.ndarray:
+    out = np.ones_like(x)
+    while True:
+        small = out < x
+        if not small.any():
+            return out
+        out = np.where(small, out * 2, out)
+
+
+def _build_slab_structure(
+    apos: np.ndarray,
+    ends: np.ndarray,
+    p_total: int,
+    p_pad: int,
+    inv_order_bp: np.ndarray,
+    c_cap: int,
+):
+    """Bin-padded slab layout for the ESC accumulation.
+
+    Entries (and, recursively, their 512-product chunks) are binned by
+    geometric product-count classes; each class-(L) member occupies L slab
+    slots.  Returns everything the numeric slab path needs: the shuffle
+    source (bpos order -> slab order, pads -> zero sources), a.val gather
+    indices at slab slots, per-level class tables, level >= 2 gather
+    indices, and the per-(level, class) assembly index arrays.
+
+    The binning realizes the reference's per-row FLOP classes
+    (``set_max_bin``/``set_min_bin``, kernel_spgemm_hash_template.cu:59-235)
+    at output-entry granularity: every class is a rectangular reduction the
+    VPU executes without a scan.
+    """
+    c_nnz = ends.size
+    starts = np.empty(c_nnz, dtype=np.int64)
+    if c_nnz:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    lens = ends.astype(np.int64) - starts + 1
+
+    levels = []          # static ((L, count), ...) per level
+    lvl_idx = []         # per level >= 2: int32 gather (sentinel -1)
+    asm_entry = []       # entry ids whose final sum lives in res_concat
+    asm_pos = []         # ... at these positions
+    res_off = 0          # running offset into the concatenated res arrays
+    slab_idx1 = None     # level-1: plan-order product index per slab slot
+
+    item_target = np.arange(c_nnz, dtype=np.int64)
+    item_start, item_len = starts, lens
+    level_i = 0
+    while item_start.size:
+        nch = -(-item_len // CHUNK)
+        big = nch > 1
+        rep = np.where(big, nch, 1)
+        n_rows = int(rep.sum())
+        row_item = np.repeat(np.arange(item_len.size, dtype=np.int64), rep)
+        cum = np.zeros(item_len.size + 1, dtype=np.int64)
+        np.cumsum(rep, out=cum[1:])
+        j_in = np.arange(n_rows, dtype=np.int64) - cum[row_item]
+        row_start = item_start[row_item] + j_in * CHUNK
+        row_len = np.minimum(item_len[row_item] - j_in * CHUNK, CHUNK)
+        row_is_chunk = big[row_item]
+        row_cls = np.where(row_is_chunk, CHUNK, _ceil_pow2(row_len))
+
+        class_sizes = sorted(set(np.unique(row_cls).tolist()))
+        order = np.argsort(
+            np.searchsorted(class_sizes, row_cls), kind="stable"
+        )
+        rank_of_row = np.empty(n_rows, dtype=np.int64)
+        rank_of_row[order] = np.arange(n_rows)
+
+        classes = []
+        idx_parts = []
+        chunk_rank0 = None  # rank offset of the CHUNK class
+        rank_base = 0
+        for ci, L in enumerate(class_sizes):
+            rows_l = order[row_cls[order] == L]
+            cnt = rows_l.size
+            # pad the member count to the lane width so the numeric phase's
+            # halving adds stay 128-aligned (pad columns are sentinel-only)
+            cnt_pad = _round_up(cnt, LANES)
+            classes.append((int(L), int(cnt_pad)))
+            # slab gather indices, member-minor (L, cnt_pad): the class
+            # reduction is then log2(L) contiguous half + half adds —
+            # vector adds at memory speed (XLA's reduce op runs ~10x
+            # slower than elementwise on this chip)
+            mat = np.full((L, cnt_pad), -1, dtype=np.int64)
+            mat[:, :cnt] = row_start[rows_l][None, :] + np.arange(L)[:, None]
+            mat[:, :cnt] = np.where(
+                np.arange(L)[:, None] < row_len[rows_l][None, :],
+                mat[:, :cnt], -1,
+            )
+            idx_parts.append(mat.reshape(-1))
+            if L == CHUNK:
+                chunk_rank0 = rank_base
+            # assembly source for final rows of this class: entry ->
+            # (global res offset + rank)
+            fin = ~row_is_chunk[rows_l]
+            if fin.any():
+                asm_entry.append(item_target[row_item[rows_l[fin]]])
+                asm_pos.append(res_off + np.flatnonzero(fin))
+            res_off += cnt_pad
+            rank_base += cnt
+        levels.append(tuple(classes))
+        this_idx = np.concatenate(idx_parts) if idx_parts else np.zeros(
+            0, np.int64
+        )
+        if level_i == 0:
+            slab_idx1 = this_idx
+        else:
+            lvl_idx.append(this_idx.astype(np.int32))
+
+        # items surviving to the next level: big items; their new products
+        # are their chunk ranks within this level's CHUNK class
+        if big.any():
+            bi = np.flatnonzero(big)
+            # rank (within class CHUNK) of each big item's first chunk
+            first_row = cum[bi]
+            item_start = rank_of_row[first_row] - chunk_rank0
+            item_len = nch[bi]
+            item_target = item_target[bi]
+        else:
+            item_start = np.zeros(0, np.int64)
+            item_len = np.zeros(0, np.int64)
+            item_target = np.zeros(0, np.int64)
+        level_i += 1
+
+    # level-1 arrays: shuffle source + a.val gather
+    p_slab = slab_idx1.size
+    valid = slab_idx1 >= 0
+    src = np.empty(p_slab, dtype=np.int32)
+    src[valid] = inv_order_bp[slab_idx1[valid]]
+    # pads draw zeros from [p_total, p_slab): positions [p_total, p_pad)
+    # are the fill's sentinel zeros, beyond that the shuffle's own padding
+    n_pads = int((~valid).sum())
+    if p_slab - p_total < n_pads:
+        raise AssertionError("zero-source pool too small")  # cannot happen
+    # pads consume the zero pool [p_total, p_slab) exactly (every slab slot
+    # is either a real product or a pad), keeping src a permutation
+    src[~valid] = np.arange(p_total, p_total + n_pads, dtype=np.int32)
+
+    av_slab = np.empty(p_slab, dtype=np.int32)
+    av_slab[valid] = apos[slab_idx1[valid]]
+    # pad slots: any in-window index (the shuffled bv there is zero); use
+    # the previous valid slot's index to keep tile spans tight
+    if n_pads:
+        pad_pos = np.flatnonzero(~valid)
+        fill_src = np.maximum.accumulate(
+            np.where(valid, np.arange(p_slab), -1)
+        )
+        prev = fill_src[pad_pos]
+        av_slab[pad_pos] = np.where(prev >= 0, av_slab[np.maximum(prev, 0)], 0)
+
+    # assembly permutation: c_val[e] = res_concat[asm_src[e]]; pad targets
+    # absorb the leftover res positions so the map is a full permutation
+    n_asm = max(res_off, c_cap)
+    asm_src = np.empty(n_asm, dtype=np.int32)
+    e_all = np.concatenate(asm_entry) if asm_entry else np.zeros(0, np.int64)
+    p_all = np.concatenate(asm_pos) if asm_pos else np.zeros(0, np.int64)
+    used = np.zeros(n_asm, dtype=bool)
+    asm_src[e_all] = p_all
+    used[p_all] = True
+    asm_src[c_nnz:] = np.flatnonzero(~used)[: n_asm - c_nnz]
+    return dict(
+        src=src,
+        av_slab=av_slab,
+        levels=tuple(levels),
+        lvl_idx=tuple(lvl_idx),
+        asm_src=asm_src,
+        p_slab=p_slab,
+    )
+
+
+def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
     """Symbolic phase: build the reusable plan on the host.
 
     Host-side numpy (optionally the C++ planner, see ``nsparse_tpu.native``):
@@ -230,25 +429,6 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
     apos_p = _pad(apos, p_pad, int(apos[-1]) if apos.size else 0)
     ends_p = _pad(ends, c_cap, p_pad - 1)
 
-    # compaction masks: move each segment total (sitting at its end
-    # position) left to its rank via LSB-first conditional shifts
-    if c_nnz:
-        ends64 = ends.astype(np.int64)
-        dist = ends64 - np.arange(c_nnz, dtype=np.int64)
-        n_passes = max(int(dist.max()).bit_length(), 1)
-        nbits = (p_pad // 32 + 1) * 32
-        cmp_masks = np.zeros((n_passes, nbits // 32), dtype=np.uint32)
-        for bbit in range(n_passes):
-            sel = (dist >> bbit) & 1 == 1
-            tgt = ends64[sel] - (dist[sel] & ((1 << bbit) - 1)) - (1 << bbit)
-            bits = np.zeros(nbits, dtype=np.uint8)
-            bits[tgt] = 1  # targets are strictly increasing: no duplicates
-            cmp_masks[bbit] = np.packbits(bits, bitorder="little").view(
-                np.uint32
-            )
-    else:
-        cmp_masks = np.zeros((1, p_pad // 32 + 1), dtype=np.uint32)
-
     # B-value sort path: in bpos-sorted product order the expansion is a
     # forward fill of the (sorted unique) B entries — its fill indices
     # advance by one per duplicate group, so the gather is window-class by
@@ -267,21 +447,84 @@ def spgemm_plan(a: CSR, b: CSR) -> SpgemmPlan:
         uniq = np.zeros(0, np.int32)
     u_cap = _round_up(uniq.size, LANES)
 
+    # routed shuffle (bpos order -> slab order): kills both the numeric
+    # phase's lax.sort AND the segmented scan + compaction (per-class
+    # padded reductions instead).  Worth the routing time once P is large
+    # enough for the sort to dominate; plans are reusable across value
+    # re-runs (the SpGEMM_Hash_Numeric amortization model).
+    bv_shuffle = None
+    slab = None
+    if shuffle is None:
+        shuffle = p_total >= (1 << 20)
+    if shuffle and p_total and c_nnz:
+        from nsparse_tpu.ops.kernels.shuffle_pallas import (
+            build_shuffle_plan,
+        )
+
+        inv_order = np.empty(p_total, dtype=np.int32)
+        inv_order[order_bp] = np.arange(p_total, dtype=np.int32)
+        slab = _build_slab_structure(
+            apos_p, ends, p_total, p_pad, inv_order, c_cap
+        )
+        slab["shuffle"] = build_shuffle_plan(slab["src"])
+        slab["av_gp"] = build_flat_gather_plan(slab["av_slab"])
+        slab["asm_shuffle"] = build_shuffle_plan(slab["asm_src"])
+
+    # scan + compaction structures only serve the non-slab fallback; their
+    # build (a ~24-pass python/packbits loop) and device upload are skipped
+    # when the slab path owns the numeric phase
+    cmp_masks = None
+    if slab is None:
+        if c_nnz:
+            ends64 = ends.astype(np.int64)
+            dist = ends64 - np.arange(c_nnz, dtype=np.int64)
+            n_passes = max(int(dist.max()).bit_length(), 1)
+            nbits = (p_pad // 32 + 1) * 32
+            cmp_masks = np.zeros((n_passes, nbits // 32), dtype=np.uint32)
+            for bbit in range(n_passes):
+                sel = (dist >> bbit) & 1 == 1
+                tgt = (
+                    ends64[sel] - (dist[sel] & ((1 << bbit) - 1))
+                    - (1 << bbit)
+                )
+                bits = np.zeros(nbits, dtype=np.uint8)
+                bits[tgt] = 1  # targets strictly increase: no duplicates
+                cmp_masks[bbit] = np.packbits(
+                    bits, bitorder="little"
+                ).view(np.uint32)
+        else:
+            cmp_masks = np.zeros((1, p_pad // 32 + 1), dtype=np.uint32)
+
     return SpgemmPlan(
         apos=jnp.asarray(apos_p),
         bpos=jnp.asarray(_pad(bpos, p_pad, 0)),
         out_pos=jnp.asarray(_pad(out_pos, p_pad, c_cap)),
         ends=jnp.asarray(ends_p),
-        av_gp=build_flat_gather_plan(apos_p, window=1024),
+        av_gp=(
+            build_flat_gather_plan(apos_p, window=1024)
+            if slab is None else None
+        ),
         ends_gp=None,  # superseded by cmp_masks (log-shift compaction)
-        cmp_masks=jnp.asarray(cmp_masks.view(np.int32)),
+        cmp_masks=(
+            jnp.asarray(cmp_masks.view(np.int32))
+            if cmp_masks is not None else None
+        ),
         uniq_bpos=jnp.asarray(_pad(uniq, u_cap, 0)),
         bv_gp=build_flat_gather_plan(
-            _pad(fill_idx, p_pad, int(fill_idx[-1]) if fill_idx.size else 0)
+            # -1 sentinels: pad slots of the fill expansion come out as
+            # ZEROS, which the slab path routes into its padding slots
+            _pad(fill_idx, p_pad, -1)
         ),
         bp_rank=jnp.asarray(
             _pad(order_bp.astype(np.int32), p_pad, p_pad - 1)
         ),
+        bv_shuffle=bv_shuffle,
+        slab_shuffle=slab["shuffle"] if slab else None,
+        av_slab_gp=slab["av_gp"] if slab else None,
+        lvl_idx=tuple(jnp.asarray(i) for i in slab["lvl_idx"]) if slab
+        else (),
+        asm_shuffle=slab["asm_shuffle"] if slab else None,
+        slab_levels=slab["levels"] if slab else (),
         c_rpt=jnp.asarray(c_rpt),
         c_col=jnp.asarray(_pad(c_col, c_cap, 0)),
         shape=(m, n),
@@ -341,6 +584,11 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
         uniq_bpos=None,
         bv_gp=None,
         bp_rank=None,
+        bv_shuffle=None,
+        slab_shuffle=None,
+        av_slab_gp=None,
+        lvl_idx=(),
+        asm_shuffle=None,
         c_rpt=c_rpt,
         c_col=c_col,
         shape=(m, n),
@@ -390,6 +638,62 @@ def _masked_compaction(v: jax.Array, masks: jax.Array) -> jax.Array:
     return v
 
 
+def _spgemm_numeric_slab(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
+    """Slab numeric: fill-expand B values, routed-shuffle them into the
+    bin-padded slab layout, multiply with slab-gathered A values, reduce
+    each class rectangularly, and assemble C.  No sort, no scan, no
+    compaction — the FLOP-binned analog of the reference's per-bin numeric
+    kernels (``calculate_value_col_bin``)."""
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+    from nsparse_tpu.ops.kernels.shuffle_pallas import planned_shuffle
+
+    bu = b.val[plan.uniq_bpos]
+    bv_bp = flat_gather(plan.bv_gp, bu)           # bpos order, zero pads
+    bv_slab = planned_shuffle(plan.slab_shuffle, bv_bp)
+    prod = flat_gather(plan.av_slab_gp, a.val, other=bv_slab)
+
+    res_parts = []
+    lvl_in = prod
+    for li, classes in enumerate(plan.slab_levels):
+        res_chunk = None
+        off = 0
+        for ci, (L, cnt) in enumerate(classes):
+            seg = lvl_in[off : off + cnt * L]
+            # member-minor (L, cnt) layout: reduce by contiguous halving
+            # adds (elementwise-speed; XLA's reduce op is ~10x slower)
+            ll = L
+            while ll > 1:
+                half = (ll // 2) * cnt
+                seg = seg[:half] + seg[half : 2 * half]
+                ll //= 2
+            r = seg
+            off += cnt * L
+            res_parts.append(r)
+            if L == CHUNK:
+                res_chunk = r
+        if li + 1 < len(plan.slab_levels):
+            idx = plan.lvl_idx[li]
+            lvl_in = jnp.where(
+                idx >= 0, res_chunk[jnp.clip(idx, 0)], 0
+            ).astype(prod.dtype)
+    res_concat = jnp.concatenate(res_parts) if len(res_parts) > 1 else (
+        res_parts[0]
+    )
+    c_val = planned_shuffle(plan.asm_shuffle, res_concat)[
+        : plan.c_capacity
+    ]
+    c_val = jnp.where(
+        jnp.arange(plan.c_capacity) < plan.c_nnz, c_val, 0
+    ).astype(a.val.dtype)
+    return CSR(
+        rpt=plan.c_rpt,
+        col=plan.c_col,
+        val=c_val,
+        shape=plan.shape,
+        nnz=plan.c_nnz,
+    )
+
+
 def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     """Numeric phase (the ``SpGEMM_Hash_Numeric`` analog: same pattern, new
     values).  Pure jit path, TPU-tuned:
@@ -406,24 +710,31 @@ def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     """
     from nsparse_tpu.ops.kernels import flat_gather as _fg
 
-    use_sort_path = plan.bv_gp is not None and (
-        _fg.FORCE_PALLAS
-        or (
-            jax.default_backend() == "tpu"
-            and b.val.dtype == jnp.float32
-        )
+    hot = _fg.FORCE_PALLAS or (
+        jax.default_backend() == "tpu" and b.val.dtype == jnp.float32
     )
+    if plan.slab_shuffle is not None and hot:
+        return _spgemm_numeric_slab(plan, a, b)
+    use_sort_path = plan.bv_gp is not None and hot
     if use_sort_path:
         from nsparse_tpu.ops.kernels.flat_gather import flat_gather
 
-        # B-value sort path: small gather of the unique entries, windowed
-        # forward-fill expansion in bpos order, one sort back to plan order
+        # B-value path: small gather of the unique entries, windowed
+        # forward-fill expansion in bpos order, then back to plan order via
+        # the routed shuffle (or the lax.sort fallback)
         bu = b.val[plan.uniq_bpos]
         bv_bp = flat_gather(plan.bv_gp, bu)
         pad = plan.bp_rank.shape[0] - bv_bp.shape[0]
         if pad:
             bv_bp = jnp.pad(bv_bp, (0, pad))
-        _, bv = jax.lax.sort((plan.bp_rank, bv_bp), num_keys=1)
+        if plan.bv_shuffle is not None:
+            from nsparse_tpu.ops.kernels.shuffle_pallas import (
+                planned_shuffle,
+            )
+
+            bv = planned_shuffle(plan.bv_shuffle, bv_bp)
+        else:
+            _, bv = jax.lax.sort((plan.bp_rank, bv_bp), num_keys=1)
     else:
         bv = b.val[plan.bpos]
     if plan.av_gp is not None:

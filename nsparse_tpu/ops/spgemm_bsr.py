@@ -30,11 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nsparse_tpu.formats.csr import CSR
 
-# Default block edge.  256 measured fastest on v5e (same bytes as 128 but
-# 4x fewer grid steps; the kernel is DMA-bound at ~65 GB/s for
-# dynamically-indexed block fetches either way).  Multiple of the 128x128
-# MXU tile.
-BS = 256
+def _default_bs() -> int:
+    """Block edge from the chip kernel config (2x the MXU tile: same bytes,
+    4x fewer grid steps; the kernel is DMA-bound for dynamically-indexed
+    block fetches either way)."""
+    from nsparse_tpu.tune.kernelgen import kernel_config
+
+    return kernel_config().bsr_bs
+
+
+BS = 256  # fallback literal; call sites prefer _default_bs()
 
 
 def _interpret() -> bool:
@@ -117,11 +122,15 @@ class BsrSpgemmPlan:
     b_fill_gp: object
     a_fill_mask: object  # (slots,) 0/1 — zeroes structural-padding slots
     b_fill_mask: object
+    c_rpt: jax.Array  # (M+1,) output row pointers (element-level pattern)
+    c_col: jax.Array  # (c_nnz,) output columns, sorted within rows
+    c_slot: jax.Array  # (c_nnz,) flat index into the dense C tiles
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     n_block_rows: int = dataclasses.field(metadata=dict(static=True))
     bs: int = dataclasses.field(metadata=dict(static=True))
     fill: float = dataclasses.field(metadata=dict(static=True))
     flops: int = dataclasses.field(metadata=dict(static=True))
+    c_nnz: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_pairs(self) -> int:
@@ -132,8 +141,9 @@ class BsrSpgemmPlan:
         return int(self.c_block_row.shape[0])
 
 
-def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
+def plan_spgemm_bsr(a: CSR, b: CSR, bs: int | None = None) -> BsrSpgemmPlan:
     """Host-side block symbolic phase (block-granular ESC planning)."""
+    bs = bs or _default_bs()
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
     from nsparse_tpu.ops.spgemm import spgemm_flops
@@ -206,6 +216,30 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
     b_blk = np.concatenate([b_blk.reshape(-1, bs, bs),
                             np.zeros((1, bs, bs), b_blk.dtype)])
 
+    # element-level C pattern (|A| @ |B|) + per-entry tile slot: the
+    # extraction back to CSR is then a single on-device gather — no dense
+    # tiles ever cross the (slow) device->host link, and the pattern
+    # matches the ESC path's structural output exactly
+    sa_abs = a.to_scipy()
+    sb_abs = b.to_scipy()
+    sa_abs.data = np.abs(sa_abs.data) + 1.0
+    sb_abs.data = np.abs(sb_abs.data) + 1.0
+    cpat = (sa_abs @ sb_abs).tocsr()
+    cpat.sort_indices()
+    c_rpt = np.asarray(cpat.indptr, dtype=np.int32)
+    c_col = np.asarray(cpat.indices, dtype=np.int32)
+    c_rows = np.repeat(
+        np.arange(cpat.shape[0], dtype=np.int64), np.diff(cpat.indptr)
+    )
+    crow_a = np.asarray(crow, dtype=np.int64)
+    ccol_a = np.asarray(ccol, dtype=np.int64)
+    tile_keys = crow_a * nbc_b + ccol_a  # sorted: pairs were (i, j) sorted
+    ekey = (c_rows // bs) * nbc_b + (c_col.astype(np.int64) // bs)
+    tid = np.searchsorted(tile_keys, ekey)
+    c_slot = (
+        tid * (bs * bs) + (c_rows % bs) * bs + (c_col.astype(np.int64) % bs)
+    ).astype(np.int32)
+
     stored = a_blk.size + b_blk.size
     true_nnz = a.nnz + b.nnz
     return BsrSpgemmPlan(
@@ -220,11 +254,15 @@ def plan_spgemm_bsr(a: CSR, b: CSR, bs: int = BS) -> BsrSpgemmPlan:
         b_fill_gp=build_flat_gather_plan(b_fill.reshape(-1)),
         a_fill_mask=jnp.asarray(a_mask.reshape(-1).astype(np.float32)),
         b_fill_mask=jnp.asarray(b_mask.reshape(-1).astype(np.float32)),
+        c_rpt=jnp.asarray(c_rpt),
+        c_col=jnp.asarray(c_col),
+        c_slot=jnp.asarray(c_slot),
         shape=(a.shape[0], b.shape[1]),
         n_block_rows=nbr_a,
         bs=bs,
         fill=stored / max(true_nnz, 1),
         flops=spgemm_flops(a, b),
+        c_nnz=int(cpat.nnz),
     )
 
 
@@ -326,13 +364,15 @@ def spgemm_bsr_blocks(plan: BsrSpgemmPlan) -> jax.Array:
     )
 
 
-def block_stats(a: CSR, b: CSR, bs: int = BS):
+def block_stats(a: CSR, b: CSR, bs: int | None = None):
     """Host-side cost probe: (block_pairs, a_fill, b_fill) at block size bs.
 
     Used by :func:`choose_spgemm_path` — the analog of the reference's bin
     dispatch deciding between kernel families by measured row statistics.
     """
     import scipy.sparse as sp
+
+    bs = bs or _default_bs()
 
     def graph(m):
         s = m.to_scipy().tocoo()
@@ -353,21 +393,25 @@ def block_stats(a: CSR, b: CSR, bs: int = BS):
     return pairs, a_fill, b_fill
 
 
-def choose_spgemm_path(a: CSR, b: CSR, bs: int = BS) -> str:
+def choose_spgemm_path(a: CSR, b: CSR, bs: int | None = None) -> str:
     """'bsr' when dense-tile MXU matmuls beat the gather-bound ESC path.
 
-    Model (v5e measurements): ESC numeric ~15 ns per intermediate product
-    (gather-bound); block path ~2.5 us per 128^3 block pair (DMA +
-    MXU-bound).  Also require the block fill not to explode memory.
+    The per-product / per-pair costs come from the chip kernel config
+    (``tune/kernelgen.py``), which derives them from HBM bandwidth — the
+    analog of the reference generator deriving bin geometry from shared
+    memory sizes.  Also require the block fill not to explode memory.
     """
     from nsparse_tpu.ops.spgemm import spgemm_flops
+    from nsparse_tpu.tune.kernelgen import kernel_config
 
+    cfg = kernel_config()
+    bs = bs or cfg.bsr_bs
     pairs, a_fill, b_fill = block_stats(a, b, bs)
     if max(a_fill, b_fill) > 64:
         return "esc"
     p = spgemm_flops(a, b) // 2
-    esc_ns = p * 15
-    bsr_ns = pairs * 2500
+    esc_ns = p * cfg.esc_ns_per_product
+    bsr_ns = pairs * cfg.bsr_us_per_pair * 1e3
     return "bsr" if bsr_ns < esc_ns else "esc"
 
 
@@ -401,25 +445,20 @@ def spgemm_bsr_numeric(plan: BsrSpgemmPlan, a: CSR, b: CSR) -> jax.Array:
 def spgemm_bsr(a: CSR, b: CSR, plan: BsrSpgemmPlan | None = None) -> CSR:
     """C = A @ B through dense block tiles; returns canonical CSR.
 
-    The densification back to CSR runs on the host (the block result is the
-    device product; extraction is I/O-shaped work).
+    Extraction back to CSR is a single on-device gather through the plan's
+    element-level pattern (``c_slot``) — the dense tiles never cross the
+    device->host link, and the structural pattern equals the ESC path's
+    (all |A|@|B| positions, explicit zeros kept), so the two methods are
+    interchangeable.
     """
-    import scipy.sparse as sp
-
     if plan is None:
         plan = plan_spgemm_bsr(a, b)
-    blocks = np.asarray(spgemm_bsr_blocks(plan))
-    bs = plan.bs
-    nbc = (plan.shape[1] + bs - 1) // bs
-    indptr = np.zeros(plan.n_block_rows + 1, np.int64)
-    np.add.at(indptr[1:], np.asarray(plan.c_block_row), 1)
-    np.cumsum(indptr, out=indptr)
-    bsr = sp.bsr_matrix(
-        (blocks, np.asarray(plan.c_block_col), indptr),
-        shape=(plan.n_block_rows * bs, nbc * bs),
+    blocks = spgemm_bsr_blocks(plan)
+    c_val = blocks.reshape(-1)[plan.c_slot]
+    return CSR(
+        rpt=plan.c_rpt,
+        col=plan.c_col,
+        val=c_val,
+        shape=plan.shape,
+        nnz=plan.c_nnz,
     )
-    out = bsr.tocsr()[: plan.shape[0], : plan.shape[1]].tocsr()
-    out.sum_duplicates()
-    out.sort_indices()
-    out.eliminate_zeros()
-    return CSR.from_scipy(out)

@@ -63,6 +63,12 @@ class KernelConfig:
     ell_sigma: int
     bsr_blocks: Tuple[Tuple[int, int], ...]
     spgemm_bins: int
+    # SpGEMM path cost model (choose_spgemm_path): both sides are
+    # bandwidth-derived, so they scale with the chip's HBM
+    esc_ns_per_product: float = 15.0
+    bsr_us_per_pair: float = 2.5
+    bsr_bs: int = 256
+    bsr_pairs_per_step: int = 1
 
 
 def derive(chip: str = "v5e") -> KernelConfig:
@@ -102,6 +108,16 @@ def derive(chip: str = "v5e") -> KernelConfig:
     while band_tile_rows * lanes * 4 * 8 > vmem // 8:
         band_tile_rows //= 2
 
+    # SpGEMM cost model, scaled from v5e measurements by bandwidth:
+    # ESC numeric measured ~15 ns/intermediate product at 819 GB/s
+    # (gather/shuffle-bound); the block path measured ~2.5 us per 256^3
+    # block pair (dynamic-block DMA bound, ~25% of peak HBM on 512 KB
+    # fetches).  Both are bandwidth-limited, so they scale with hbm.
+    esc_ns = 15.0 * 819.0 / hbm
+    bsr_bs = 2 * lanes  # 2x the MXU tile: same bytes, 4x fewer grid steps
+    pair_bytes = 2 * bsr_bs * bsr_bs * 4
+    bsr_us = pair_bytes / (0.25 * hbm * 1e9) * 1e6
+
     return KernelConfig(
         chip=chip,
         gather_classes=tuple(band_ladder + win_ladder),
@@ -111,6 +127,10 @@ def derive(chip: str = "v5e") -> KernelConfig:
         ell_sigma=1024,
         bsr_blocks=((sublanes, lanes), (sublanes, 2 * lanes)),
         spgemm_bins=7,
+        esc_ns_per_product=round(esc_ns, 2),
+        bsr_us_per_pair=round(bsr_us, 2),
+        bsr_bs=bsr_bs,
+        bsr_pairs_per_step=1,
     )
 
 

@@ -131,3 +131,62 @@ def test_spgemm_method_auto():
     assert check_spgemm_answer(
         c, spgemm_oracle(a, a), abs_ref=spgemm_abs_oracle(a, a)
     )
+
+
+# ---------------------------------------------------------------------------
+# slab path (bin-padded class reductions + routed shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _check_slab(a: CSR, b: CSR):
+    """Force the slab numeric path (pallas interpret on CPU) vs oracle."""
+    import nsparse_tpu.ops.kernels.flat_gather as fg
+
+    plan = spgemm_plan(a, b, shuffle=True)
+    assert plan.slab_shuffle is not None
+    old = fg.FORCE_PALLAS
+    fg.FORCE_PALLAS = True
+    try:
+        c = spgemm_numeric(plan, a, b)
+    finally:
+        fg.FORCE_PALLAS = old
+    ref = spgemm_oracle(a, b)
+    assert check_spgemm_answer(c, ref, verbose=True)
+    rtol = 1e-10 if a.val.dtype == jnp.float64 else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(c.to_scipy().data), ref.data, rtol=rtol, atol=1e-12
+    )
+    return plan
+
+
+def test_slab_path_rmat():
+    a = rmat_csr(9, edge_factor=6, dtype=np.float64, seed=4)
+    plan = _check_slab(a, a)
+    assert len(plan.slab_levels) == 1  # no entry exceeds CHUNK products
+
+
+def test_slab_path_multilevel():
+    # a dense column block in A times dense rows of B makes C entries with
+    # > CHUNK intermediate products -> chunking + a second slab level
+    rng = np.random.default_rng(7)
+    k = 1400
+    a_d = rng.standard_normal((3, k))
+    b_d = rng.standard_normal((k, 5))
+    a = CSR.from_scipy(sp.csr_matrix(a_d))
+    b = CSR.from_scipy(sp.csr_matrix(b_d))
+    plan = _check_slab(a, b)
+    assert len(plan.slab_levels) >= 2
+    assert len(plan.lvl_idx) >= 1  # level-2 gather exists
+
+
+def test_slab_path_mixed_lengths():
+    # mix of tiny rows and one heavy row (chunked) in the same product
+    rng = np.random.default_rng(8)
+    m = 64
+    dense_row = np.zeros((1, m))
+    dense_row[0, :] = rng.standard_normal(m)
+    body = sp.random(m - 1, m, density=0.08, random_state=9)
+    a = CSR.from_scipy(sp.csr_matrix(np.vstack([dense_row, body.toarray()])))
+    b_dense = sp.csr_matrix(rng.standard_normal((m, 20)))
+    b = CSR.from_scipy(b_dense)
+    _check_slab(a, b)
