@@ -1,0 +1,403 @@
+"""Piecewise-run product expansion: A-entry-major SpGEMM streams.
+
+In A-entry-major ("aem") product order the two SpGEMM value streams are
+*piecewise trivial*: between run boundaries, the B factor is a contiguous
+slice of ``b.val`` (one B row, slope-1 indices) and the A factor is one
+constant ``a.val`` entry.  A run boundary occurs once per (A entry, B row)
+pair, so tiles of 1024 products typically contain only a handful of runs
+(R-MAT 14 x 8: 62% of products sit in tiles with <= 8 runs, 99.3% with
+<= 32).  The kernel therefore forms ``a.val[e] * b.val[start:stop]``
+products with ~J * 10 VPU instructions per 1024 outputs, where J is the
+per-tile piece budget — 3-30x cheaper than the roll-scan windowed gathers
+(win128 = 0.42 instr/element, win1024 = 1.9 measured) that a
+B-major fill + slab-order A gather needs.
+
+The B value table lives whole in VMEM (sparse matrices' value arrays are
+small: nnz * 4 bytes); pieces are read by dynamic sublane slices + a flat
+align, never by per-element gathers.  Per-piece A values arrive as an SMEM
+stream computed per numeric call (the re-run API keeps the descriptors).
+
+Role analog: the reference's per-warp expansion loop in the hash numeric
+kernel (cuda-c/src/kernel/kernel_spgemm_hash_template.cu:769-815) streams
+(a_val, b_row) pairs from global memory; here the same streaming is
+expressed as plan-routed piece descriptors so the VPU only does aligned
+block moves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsparse_tpu.ops.kernels.gather_pallas import (
+    LANES,
+    TILE,
+    TILE_ROWS,
+    _flat_align,
+    scatter_tiles,
+)
+
+SUB = 8                      # subtiles per grid step (grid-step amortization)
+SUPER = SUB * TILE           # products per supertile
+J_CLASSES = (8, 32, 128)     # piece budgets (supertile max runs per subtile)
+BIAS = 2048                  # zero rows prepended to the B table (neg offsets)
+SRC_ROWS = 16                # sublane rows per piece slice (1024 + align span)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PiecewisePlan:
+    """Routing for the aem product expansion ``out[p] = a.val[ae(p)] *
+    b.val[bp(p)]`` (zero beyond ``n``).
+
+    Attributes:
+      ids: per class, supertile indices (units of SUPER products).
+      cuts: per class, (n_super * SUB * J,) int32 — piece start positions
+        within each subtile (TILE sentinel = inert piece).
+      boffs: per class, flat B-table offsets biased so that the in-kernel
+        source index is ``boff + local_pos`` (>= 0 by the BIAS rows).
+      aidx: per class, (n_super * SUB * J,) int32 a.val indices per piece
+        (index nnz_a = the zero pad slot).
+      fb_ids: subtiles routed to the XLA fallback (run-dense tiles).
+      fb_bidx / fb_aidx: (n_fb * TILE,) element-level indices for them
+        (-1 = zero slot).
+      n: true product count; n_pad: padded length (multiple of SUPER).
+      nnz_a / nnz_b: value-array sizes the plan was built for.
+      apv_gp: FlatGatherPlan over the concatenation of all classes' aidx
+        (monotone -> cheap band/window classes) producing the per-piece A
+        values in one planned gather; apv_splits: per-class slice bounds.
+    """
+
+    ids: Tuple
+    cuts: Tuple
+    boffs: Tuple
+    aidx: Tuple
+    apv_gp: object
+    fb_ids: jax.Array
+    fb_bidx: jax.Array
+    fb_aidx: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    n_pad: int = dataclasses.field(metadata=dict(static=True))
+    nnz_a: int = dataclasses.field(metadata=dict(static=True))
+    nnz_b: int = dataclasses.field(metadata=dict(static=True))
+    apv_splits: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    @property
+    def class_fracs(self):
+        t = max(self.n_pad // TILE, 1)
+        out = {}
+        for j, i in zip(J_CLASSES, self.ids):
+            out[f"pw{j}"] = int(i.shape[0]) * SUB / t
+        out["fallback"] = int(self.fb_ids.shape[0]) / t
+        return out
+
+
+def build_piecewise_plan(
+    run_start: np.ndarray,
+    run_boff: np.ndarray,
+    run_aidx: np.ndarray,
+    n: int,
+    nnz_a: int,
+    nnz_b: int,
+) -> PiecewisePlan:
+    """Host-side: route runs into per-supertile piece descriptors.
+
+    ``run_start``: ascending product positions where a new (A entry, B row)
+    run begins (run 0 starts at 0); ``run_boff``: b.val index of each run's
+    first product; ``run_aidx``: a.val index of the run's A entry.  The
+    products cover [0, n); [n, n_pad) is the zero-pad pool (routed as one
+    synthetic run against the zero slots).
+    """
+    from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
+
+    run_start = np.asarray(run_start, dtype=np.int64)
+    run_boff = np.asarray(run_boff, dtype=np.int64)
+    run_aidx = np.asarray(run_aidx, dtype=np.int64)
+    n_pad = _round_up(max(n, 1), SUPER)
+
+    # synthetic pad run: zero a.val slot (index nnz_a), b table offset 0
+    run_start = np.concatenate([run_start, [n]])
+    run_boff = np.concatenate([run_boff, [0]])
+    run_aidx = np.concatenate([run_aidx, [nnz_a]])
+    n_runs = run_start.size
+
+    n_sub = n_pad // TILE
+    sub_base = np.arange(n_sub, dtype=np.int64) * TILE
+    first = np.searchsorted(run_start, sub_base, side="right") - 1
+    starts_in = np.bincount(
+        np.minimum(run_start // TILE, n_sub - 1), minlength=n_sub
+    )
+    # a run starting exactly at the tile base replaces the continuation
+    at_base = np.zeros(n_sub, dtype=bool)
+    rb = run_start[(run_start % TILE == 0) & (run_start < n_pad)] // TILE
+    at_base[rb] = True
+    count = starts_in + (~at_base).astype(np.int64)
+
+    n_super = n_sub // SUB
+    jmax = count.reshape(n_super, SUB).max(axis=1)
+
+    ids, cuts_l, boffs_l, aidx_l = [], [], [], []
+    assigned = np.zeros(n_super, dtype=bool)
+    for J in J_CLASSES:
+        ok = (~assigned) & (jmax <= J)
+        assigned |= ok
+        sids = np.nonzero(ok)[0].astype(np.int32)
+        ids.append(jnp.asarray(sids))
+        if not sids.size:
+            cuts_l.append(jnp.zeros((0,), jnp.int32))
+            boffs_l.append(jnp.zeros((0,), jnp.int32))
+            aidx_l.append(jnp.zeros((0,), jnp.int32))
+            continue
+        subs = (
+            sids[:, None].astype(np.int64) * SUB + np.arange(SUB)[None, :]
+        ).reshape(-1)
+        # runs first[t] + k, valid while k < count[t]
+        k = np.arange(J, dtype=np.int64)
+        r = first[subs][:, None] + k[None, :]
+        valid = (k[None, :] < count[subs][:, None]) & (r < n_runs)
+        rc = np.minimum(r, n_runs - 1)
+        base = sub_base[subs][:, None]
+        cut = np.where(valid, np.maximum(run_start[rc] - base, 0), TILE)
+        boff = np.where(
+            valid, run_boff[rc] - run_start[rc] + base + BIAS, BIAS
+        )
+        # forward-fill invalid slots from the previous valid piece so the
+        # concatenated aidx stream stays near-monotone (cheap gather
+        # classes); inert pieces (cut == TILE) never multiply their value
+        flat = np.where(valid, run_aidx[rc], -1).reshape(-1)
+        last = np.maximum.accumulate(
+            np.where(flat >= 0, np.arange(flat.size), -1)
+        )
+        ai = flat[np.maximum(last, 0)]
+        ai = np.where(last >= 0, ai, 0)
+        cuts_l.append(jnp.asarray(cut.reshape(-1).astype(np.int32)))
+        boffs_l.append(jnp.asarray(boff.reshape(-1).astype(np.int32)))
+        aidx_l.append(jnp.asarray(ai.astype(np.int32)))
+
+    # fallback: subtiles inside unassigned supertiles -> element indices
+    fb_super = np.nonzero(~assigned)[0]
+    fb_subs = (
+        fb_super[:, None] * SUB + np.arange(SUB)[None, :]
+    ).reshape(-1).astype(np.int64)
+    if fb_subs.size:
+        pos = (fb_subs[:, None] * TILE + np.arange(TILE)[None, :]).reshape(-1)
+        ridx = np.searchsorted(run_start, pos, side="right") - 1
+        live = pos < n
+        fb_bidx = np.where(
+            live, run_boff[ridx] + pos - run_start[ridx], -1
+        ).astype(np.int32)
+        fb_aidx = np.where(live, run_aidx[ridx], 0).astype(np.int32)
+    else:
+        fb_bidx = np.zeros(0, np.int32)
+        fb_aidx = np.zeros(0, np.int32)
+
+    # one planned gather covers every class's per-piece A values
+    aidx_cat = (
+        np.concatenate([np.asarray(a) for a in aidx_l])
+        if aidx_l else np.zeros(0, np.int64)
+    )
+    splits, off = [], 0
+    for a in aidx_l:
+        splits.append((off, off + int(np.asarray(a).size)))
+        off += int(np.asarray(a).size)
+    apv_gp = build_flat_gather_plan(aidx_cat.astype(np.int32))
+
+    return PiecewisePlan(
+        ids=tuple(ids),
+        cuts=tuple(cuts_l),
+        boffs=tuple(boffs_l),
+        aidx=tuple(aidx_l),
+        apv_gp=apv_gp,
+        fb_ids=jnp.asarray(fb_subs.astype(np.int32)),
+        fb_bidx=jnp.asarray(fb_bidx),
+        fb_aidx=jnp.asarray(fb_aidx),
+        n=n,
+        n_pad=n_pad,
+        nnz_a=nnz_a,
+        nnz_b=nnz_b,
+        apv_splits=tuple(splits),
+    )
+
+
+def _make_pw_kern(j_budget: int, sub: int, tbl_rows: int):
+    def kern(ids_r, cuts_r, boffs_r, apv_r, tbl_r, alias_r, out_r):
+        del ids_r, alias_r
+        pos = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_ROWS, LANES), 0
+            ) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        )
+        for k in range(sub):
+            acc = jnp.zeros((TILE_ROWS, LANES), tbl_r.dtype)
+            for j in range(j_budget):
+                cut = cuts_r[k, j]
+                boff = boffs_r[k, j]
+                av = apv_r[k, j]
+                row0 = boff // LANES
+                blk = tbl_r[pl.ds(row0, SRC_ROWS), :]
+                seg = _flat_align(blk, boff % LANES)[:TILE_ROWS]
+                acc = jnp.where(pos >= cut, seg * av, acc)
+            out_r[pl.ds(k * TILE_ROWS, TILE_ROWS), :] = acc
+
+    return kern
+
+
+def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out):
+    n_super = int(ids.shape[0])
+    sub = 1 if _interpret() else SUB
+    if sub == 1:
+        ids = (
+            ids[:, None] * SUB + jnp.arange(SUB, dtype=ids.dtype)[None, :]
+        ).reshape(-1)
+    block_rows = sub * TILE_ROWS
+    # aux arrays are subtile-major 2-D: (n_subtiles, J), block (sub, J)
+    cuts = cuts.reshape(-1, j_budget)
+    boffs = boffs.reshape(-1, j_budget)
+    apv = apv.reshape(-1, j_budget)
+
+    def big_tile():
+        return pl.BlockSpec(
+            (block_rows, LANES), lambda i, ids: (ids[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def smem_vec():
+        return pl.BlockSpec(
+            (sub, j_budget), lambda i, ids: (i, 0),
+            memory_space=pltpu.SMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_super * (SUB // sub),),
+        in_specs=[
+            smem_vec(),  # cuts
+            smem_vec(),  # boffs
+            smem_vec(),  # apv
+            pl.BlockSpec(
+                tbl2.shape, lambda i, ids: (0, 0), memory_space=pltpu.VMEM
+            ),
+            big_tile(),  # aliased out as input
+        ],
+        out_specs=big_tile(),
+    )
+    kern = _make_pw_kern(j_budget, sub, tbl2.shape[0])
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        # alias indices count the scalar-prefetch operand too
+        input_output_aliases={5: 0},
+        interpret=_interpret(),
+    )(ids, cuts, boffs, apv, tbl2, out)
+
+
+def piecewise_expand(
+    plan: PiecewisePlan, a_val: jax.Array, b_val: jax.Array
+) -> jax.Array:
+    """Device: materialize the aem product array (n_pad,) f32.
+
+    ``a_val``/``b_val`` are the CSR value arrays the plan was built for
+    (any values, same sparsity — the SpGEMM_Hash_Numeric re-run contract).
+    """
+    from nsparse_tpu.ops.kernels import flat_gather as _fg
+
+    use_pallas = _fg.FORCE_PALLAS or (
+        jax.default_backend() == "tpu" and b_val.dtype == jnp.float32
+    )
+    a_pad = jnp.concatenate(
+        [a_val, jnp.zeros(1, a_val.dtype)]
+    )
+    if not use_pallas:
+        return _piecewise_reference(plan, a_pad, b_val)
+
+    dt = b_val.dtype
+    tbl_rows = _round_up(plan.nnz_b + TILE + SRC_ROWS * LANES, LANES) // LANES
+    tbl2 = jnp.zeros((BIAS // LANES + tbl_rows, LANES), dt)
+    tbl2 = jax.lax.dynamic_update_slice(
+        tbl2.reshape(-1), b_val, (BIAS,)
+    ).reshape(-1, LANES)
+
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+    apv_cat = flat_gather(plan.apv_gp, a_pad.astype(dt))
+    out = jnp.zeros((plan.n_pad // LANES, LANES), dt)
+    for j_budget, ids, cuts, boffs, (lo, hi) in zip(
+        J_CLASSES, plan.ids, plan.cuts, plan.boffs, plan.apv_splits
+    ):
+        if not int(ids.shape[0]):
+            continue
+        apv = apv_cat[lo:hi]
+        out = _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out)
+    if int(plan.fb_ids.shape[0]):
+        fb_b = jnp.where(
+            plan.fb_bidx >= 0, b_val[jnp.clip(plan.fb_bidx, 0)], 0
+        )
+        fb_vals = (fb_b * a_pad[plan.fb_aidx]).astype(dt).reshape(
+            -1, LANES
+        )
+        out = scatter_tiles(
+            out, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS
+        )
+    return out.reshape(-1)
+
+
+def _piecewise_reference(plan, a_pad, b_val):
+    """XLA path (off-TPU / f64): same output, element gathers."""
+    out = jnp.zeros(plan.n_pad, b_val.dtype)
+    pos = jnp.arange(TILE, dtype=jnp.int32)
+    for j_budget, ids, cuts, boffs, aidx in zip(
+        J_CLASSES, plan.ids, plan.cuts, plan.boffs, plan.aidx
+    ):
+        n_super = int(ids.shape[0])
+        if not n_super:
+            continue
+        cuts2 = cuts.reshape(n_super * SUB, j_budget)
+        boffs2 = boffs.reshape(n_super * SUB, j_budget)
+        aidx2 = aidx.reshape(n_super * SUB, j_budget)
+        # per element: the last piece with cut <= pos
+        sel = jnp.sum(
+            (cuts2[:, None, :] <= pos[None, :, None]).astype(jnp.int32),
+            axis=-1,
+        ) - 1
+        sel = jnp.clip(sel, 0)
+        bo = jnp.take_along_axis(boffs2, sel, axis=1)
+        ai = jnp.take_along_axis(aidx2, sel, axis=1)
+        bidx = bo + pos[None, :] - BIAS
+        zero_b = (bidx < 0) | (bidx >= int(b_val.shape[0]))
+        vals = jnp.where(
+            zero_b, 0, b_val[jnp.clip(bidx, 0, int(b_val.shape[0]) - 1)]
+        ) * a_pad[ai]
+        rows = (
+            ids[:, None] * SUB + jnp.arange(SUB, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        out = out.reshape(-1, TILE).at[rows].set(
+            vals.astype(out.dtype)
+        ).reshape(-1)
+    if int(plan.fb_ids.shape[0]):
+        fb_b = jnp.where(
+            plan.fb_bidx >= 0, b_val[jnp.clip(plan.fb_bidx, 0)], 0
+        )
+        fb_vals = (fb_b * a_pad[plan.fb_aidx]).reshape(-1, TILE)
+        out = out.reshape(-1, TILE).at[plan.fb_ids].set(
+            fb_vals.astype(out.dtype)
+        ).reshape(-1)
+    return out

@@ -109,14 +109,14 @@ class SpgemmPlan:
       bv_shuffle: routed planned-shuffle (bpos order -> plan order,
         ``ops/kernels/shuffle_pallas.py``) replacing that ``lax.sort``
         at a fraction of its cost; or None.
-      slab_shuffle: routed planned-shuffle (bpos order -> bin-padded slab
-        order).  The slab path replaces the segmented scan + compaction
-        with per-class padded reductions — the repo's realization of the
-        reference's FLOP binning driving execution
+      slab_shuffle: routed planned-shuffle (A-entry-major product order ->
+        bin-padded slab order).  The slab path replaces the segmented scan
+        + compaction with per-class padded reductions — the repo's
+        realization of the reference's FLOP binning driving execution
         (``kernel_spgemm_hash_d.cu:1077-1185``); or None.
-      av_slab_gp: windowed-gather routing for a.val at slab slots (pad
-        slots point at an in-window A entry; their product is zero because
-        the shuffled bv pads are zero).
+      pw: PiecewisePlan forming the A-entry-major products (both value
+        streams are piecewise trivial there: constant a.val per run,
+        contiguous b.val slices — ``ops/kernels/piecewise.py``).
       lvl_idx: per level >= 2, gather indices (sentinel -1 = zero) from the
         previous level's chunk-class sums into this level's slab.
       asm_shuffle: routed planned-shuffle assembling c_val from the
@@ -141,7 +141,7 @@ class SpgemmPlan:
     bp_rank: object  # Optional[jax.Array]
     bv_shuffle: object  # Optional[ShufflePlan]
     slab_shuffle: object  # Optional[ShufflePlan]
-    av_slab_gp: object  # Optional[FlatGatherPlan]
+    pw: object  # Optional[PiecewisePlan]
     lvl_idx: object  # Tuple[jax.Array, ...]
     asm_shuffle: object  # Optional[ShufflePlan]
     c_rpt: jax.Array
@@ -217,11 +217,9 @@ def _ceil_pow2(x: np.ndarray) -> np.ndarray:
 
 
 def _build_slab_structure(
-    apos: np.ndarray,
     ends: np.ndarray,
     p_total: int,
-    p_pad: int,
-    inv_order_bp: np.ndarray,
+    src_pos: np.ndarray,
     c_cap: int,
 ):
     """Bin-padded slab layout for the ESC accumulation.
@@ -229,9 +227,10 @@ def _build_slab_structure(
     Entries (and, recursively, their 512-product chunks) are binned by
     geometric product-count classes; each class-(L) member occupies L slab
     slots.  Returns everything the numeric slab path needs: the shuffle
-    source (bpos order -> slab order, pads -> zero sources), a.val gather
-    indices at slab slots, per-level class tables, level >= 2 gather
-    indices, and the per-(level, class) assembly index arrays.
+    source (``src_pos[plan-order product]`` = its position in the source
+    product array, pads -> zero sources), per-level class tables,
+    level >= 2 gather indices, and the per-(level, class) assembly index
+    arrays.
 
     The binning realizes the reference's per-row FLOP classes
     (``set_max_bin``/``set_min_bin``, kernel_spgemm_hash_template.cu:59-235)
@@ -332,31 +331,19 @@ def _build_slab_structure(
             item_target = np.zeros(0, np.int64)
         level_i += 1
 
-    # level-1 arrays: shuffle source + a.val gather
+    # level-1 arrays: the shuffle source
     p_slab = slab_idx1.size
     valid = slab_idx1 >= 0
     src = np.empty(p_slab, dtype=np.int32)
-    src[valid] = inv_order_bp[slab_idx1[valid]]
-    # pads draw zeros from [p_total, p_slab): positions [p_total, p_pad)
-    # are the fill's sentinel zeros, beyond that the shuffle's own padding
+    src[valid] = src_pos[slab_idx1[valid]]
+    # pads draw zeros from [p_total, p_slab): the source product array is
+    # zero beyond p_total (synthetic pad run / the shuffle's own padding)
     n_pads = int((~valid).sum())
     if p_slab - p_total < n_pads:
         raise AssertionError("zero-source pool too small")  # cannot happen
     # pads consume the zero pool [p_total, p_slab) exactly (every slab slot
     # is either a real product or a pad), keeping src a permutation
     src[~valid] = np.arange(p_total, p_total + n_pads, dtype=np.int32)
-
-    av_slab = np.empty(p_slab, dtype=np.int32)
-    av_slab[valid] = apos[slab_idx1[valid]]
-    # pad slots: any in-window index (the shuffled bv there is zero); use
-    # the previous valid slot's index to keep tile spans tight
-    if n_pads:
-        pad_pos = np.flatnonzero(~valid)
-        fill_src = np.maximum.accumulate(
-            np.where(valid, np.arange(p_slab), -1)
-        )
-        prev = fill_src[pad_pos]
-        av_slab[pad_pos] = np.where(prev >= 0, av_slab[np.maximum(prev, 0)], 0)
 
     # assembly permutation: c_val[e] = res_concat[asm_src[e]]; pad targets
     # absorb the leftover res positions so the map is a full permutation
@@ -370,7 +357,6 @@ def _build_slab_structure(
     asm_src[c_nnz:] = np.flatnonzero(~used)[: n_asm - c_nnz]
     return dict(
         src=src,
-        av_slab=av_slab,
         levels=tuple(levels),
         lvl_idx=tuple(lvl_idx),
         asm_src=asm_src,
@@ -429,11 +415,47 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
     apos_p = _pad(apos, p_pad, int(apos[-1]) if apos.size else 0)
     ends_p = _pad(ends, c_cap, p_pad - 1)
 
-    # B-value sort path: in bpos-sorted product order the expansion is a
-    # forward fill of the (sorted unique) B entries — its fill indices
-    # advance by one per duplicate group, so the gather is window-class by
-    # construction; one device sort by the saved rank restores plan order.
-    if p_total:
+    # Slab path (the default at scale): products are formed in A-entry-
+    # major order by the piecewise-run kernel (both value streams are
+    # piecewise trivial there, ``ops/kernels/piecewise.py``), routed once
+    # into the bin-padded slab layout, and reduced per class — no sort, no
+    # scan.  Plans are reusable across value re-runs (the
+    # SpGEMM_Hash_Numeric amortization model).
+    bv_shuffle = None
+    slab = None
+    pw_plan = None
+    if shuffle is None:
+        shuffle = p_total >= (1 << 20)
+    if shuffle and p_total and c_nnz:
+        from nsparse_tpu.ops.kernels.piecewise import build_piecewise_plan
+        from nsparse_tpu.ops.kernels.shuffle_pallas import (
+            build_shuffle_plan,
+        )
+
+        # runs of the A-entry-major expansion: one per A entry (its B row
+        # is a contiguous b.val slice)
+        seg_len = deg_b[col_a]
+        run_start = np.zeros(nnz_a, dtype=np.int64)
+        np.cumsum(seg_len[:-1], out=run_start[1:])
+        run_boff = rpt_b[col_a].astype(np.int64)
+        run_aidx = np.arange(nnz_a, dtype=np.int64)
+        pw_plan = build_piecewise_plan(
+            run_start, run_boff, run_aidx, p_total, nnz_a, b.nnz
+        )
+        # closed-form position of each plan-order product in aem order
+        aem_pos = (
+            run_start[apos] + (bpos.astype(np.int64) - run_boff[apos])
+        ).astype(np.int32)
+        slab = _build_slab_structure(ends, p_total, aem_pos, c_cap)
+        slab["shuffle"] = build_shuffle_plan(slab["src"])
+        slab["asm_shuffle"] = build_shuffle_plan(slab["asm_src"])
+
+    # B-value sort path (non-slab fallback): in bpos-sorted product order
+    # the expansion is a forward fill of the (sorted unique) B entries —
+    # its fill indices advance by one per duplicate group, so the gather is
+    # window-class by construction; one device sort by the saved rank
+    # restores plan order.
+    if p_total and slab is None:
         order_bp = np.argsort(bpos, kind="stable")
         sorted_bpos = bpos[order_bp]
         starts = np.empty(p_total, dtype=bool)
@@ -446,29 +468,6 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
         fill_idx = np.zeros(0, np.int32)
         uniq = np.zeros(0, np.int32)
     u_cap = _round_up(uniq.size, LANES)
-
-    # routed shuffle (bpos order -> slab order): kills both the numeric
-    # phase's lax.sort AND the segmented scan + compaction (per-class
-    # padded reductions instead).  Worth the routing time once P is large
-    # enough for the sort to dominate; plans are reusable across value
-    # re-runs (the SpGEMM_Hash_Numeric amortization model).
-    bv_shuffle = None
-    slab = None
-    if shuffle is None:
-        shuffle = p_total >= (1 << 20)
-    if shuffle and p_total and c_nnz:
-        from nsparse_tpu.ops.kernels.shuffle_pallas import (
-            build_shuffle_plan,
-        )
-
-        inv_order = np.empty(p_total, dtype=np.int32)
-        inv_order[order_bp] = np.arange(p_total, dtype=np.int32)
-        slab = _build_slab_structure(
-            apos_p, ends, p_total, p_pad, inv_order, c_cap
-        )
-        slab["shuffle"] = build_shuffle_plan(slab["src"])
-        slab["av_gp"] = build_flat_gather_plan(slab["av_slab"])
-        slab["asm_shuffle"] = build_shuffle_plan(slab["asm_src"])
 
     # scan + compaction structures only serve the non-slab fallback; their
     # build (a ~24-pass python/packbits loop) and device upload are skipped
@@ -510,17 +509,20 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
             if cmp_masks is not None else None
         ),
         uniq_bpos=jnp.asarray(_pad(uniq, u_cap, 0)),
-        bv_gp=build_flat_gather_plan(
-            # -1 sentinels: pad slots of the fill expansion come out as
-            # ZEROS, which the slab path routes into its padding slots
-            _pad(fill_idx, p_pad, -1)
+        bv_gp=(
+            build_flat_gather_plan(
+                # -1 sentinels: pad slots come out as ZEROS
+                _pad(fill_idx, p_pad, -1)
+            )
+            if slab is None else None
         ),
-        bp_rank=jnp.asarray(
-            _pad(order_bp.astype(np.int32), p_pad, p_pad - 1)
+        bp_rank=(
+            jnp.asarray(_pad(order_bp.astype(np.int32), p_pad, p_pad - 1))
+            if slab is None else None
         ),
         bv_shuffle=bv_shuffle,
         slab_shuffle=slab["shuffle"] if slab else None,
-        av_slab_gp=slab["av_gp"] if slab else None,
+        pw=pw_plan,
         lvl_idx=tuple(jnp.asarray(i) for i in slab["lvl_idx"]) if slab
         else (),
         asm_shuffle=slab["asm_shuffle"] if slab else None,
@@ -586,7 +588,7 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
         bp_rank=None,
         bv_shuffle=None,
         slab_shuffle=None,
-        av_slab_gp=None,
+        pw=None,
         lvl_idx=(),
         asm_shuffle=None,
         c_rpt=c_rpt,
@@ -639,18 +641,17 @@ def _masked_compaction(v: jax.Array, masks: jax.Array) -> jax.Array:
 
 
 def _spgemm_numeric_slab(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
-    """Slab numeric: fill-expand B values, routed-shuffle them into the
-    bin-padded slab layout, multiply with slab-gathered A values, reduce
-    each class rectangularly, and assemble C.  No sort, no scan, no
-    compaction — the FLOP-binned analog of the reference's per-bin numeric
-    kernels (``calculate_value_col_bin``)."""
-    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+    """Slab numeric: form products in A-entry-major order (piecewise-run
+    kernel: constant a.val per run times contiguous b.val slices),
+    routed-shuffle them into the bin-padded slab layout, reduce each class
+    rectangularly, and assemble C.  No sort, no scan, no compaction — the
+    FLOP-binned analog of the reference's per-bin numeric kernels
+    (``calculate_value_col_bin``)."""
+    from nsparse_tpu.ops.kernels.piecewise import piecewise_expand
     from nsparse_tpu.ops.kernels.shuffle_pallas import planned_shuffle
 
-    bu = b.val[plan.uniq_bpos]
-    bv_bp = flat_gather(plan.bv_gp, bu)           # bpos order, zero pads
-    bv_slab = planned_shuffle(plan.slab_shuffle, bv_bp)
-    prod = flat_gather(plan.av_slab_gp, a.val, other=bv_slab)
+    prod_aem = piecewise_expand(plan.pw, a.val, b.val)
+    prod = planned_shuffle(plan.slab_shuffle, prod_aem)
 
     res_parts = []
     lvl_in = prod

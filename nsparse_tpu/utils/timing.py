@@ -51,3 +51,43 @@ def time_chained(step, init, iters: int = 20, reps: int = 3) -> float:
     jax.block_until_ready(c)
     t1 = time.perf_counter()
     return (t1 - t0) * 1e3 / (reps * iters)
+
+
+def time_marginal(
+    step, init, iters_lo: int = 2, iters_hi: int = 10, reps: int = 3
+) -> float:
+    """True device ms per iteration of ``carry = step(carry, i)``.
+
+    Runs the step chained in a jitted ``fori_loop`` at two iteration
+    counts and reports ``(T_hi - T_lo) / (iters_hi - iters_lo)`` — the
+    marginal cost of one more iteration.  This cancels BOTH the
+    per-dispatch latency AND the ``block_until_ready`` round-trip, which
+    on a tunnel-attached chip costs tens of milliseconds and poisons any
+    absolute small-kernel timing (``time_chained`` divides it across
+    iterations and over-reports sub-ms kernels ~10-50x).  The carry must
+    feed the next iteration so XLA cannot hoist work out of the loop;
+    an ``optimization_barrier`` stops cross-iteration fusion.
+
+    Role analog: the reference times kernels with cudaEvent around an
+    N-trial loop (``spgemm_hash.cu:40-49``); on this runtime the loop must
+    live on-device and the sync cost must difference out.
+    """
+
+    def run(iters):
+        def body(i, c):
+            return jax.lax.optimization_barrier(step(c, i))
+
+        loop = jax.jit(
+            lambda c, n_=iters: jax.lax.fori_loop(0, n_, body, c)
+        )
+        c = jax.block_until_ready(loop(init))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c = jax.block_until_ready(loop(c))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = run(iters_lo)
+    t_hi = run(iters_hi)
+    return max((t_hi - t_lo), 0.0) * 1e3 / (iters_hi - iters_lo)
