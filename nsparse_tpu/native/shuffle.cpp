@@ -49,16 +49,24 @@ namespace {
 // ---------------------------------------------------------------------------
 
 struct BenesScratch {
-  std::vector<int32_t> perm, nperm, inv;
-  std::vector<int8_t> h_out;
+  std::vector<int32_t> perm, nperm, inv, nxt;
+  std::vector<int8_t> vis;
   void resize(int64_t W) {
     perm.resize(W);
     nperm.resize(W);
     inv.resize(W);
-    h_out.resize(W);
+    nxt.resize(W);
+    vis.resize(W);
   }
 };
 
+// Route one tile.  The 2-coloring walk follows cycles of the explicit
+// successor permutation next(i) = inv[perm[i] ^ h] ^ h, built in a
+// throughput-friendly independent pass so the serial chase costs one
+// dependent L1 load per step.  A walked cycle is the 0-colored half;
+// its XOR-h image is the 1-colored partner cycle (Benes pair-graph
+// cycles are even, so the two never collide); the scan skips starts
+// whose pair cycle was already walked.
 void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
                      int32_t* mask, BenesScratch& S) {
   std::memcpy(S.perm.data(), perm_in, W * sizeof(int32_t));
@@ -70,21 +78,14 @@ void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
     const int t_out = 2 * w_total - 2 - level;
     for (int64_t off = 0; off < W; off += n) {
       int32_t* pm = S.perm.data() + off;
-      // identity fast path (slack / padding regions): no masks, but the
-      // children still need LOCAL values — rewrite the upper half to
-      // iota(h) (the lower half already is iota(h))
+      // identity fast path (slack / padding): children need LOCAL values
       bool ident = true;
-      for (int64_t i = 0; i < n; ++i) {
-        if (pm[i] != i) {
-          ident = false;
-          break;
-        }
-      }
+      for (int64_t i = 0; i < n; ++i) ident &= (pm[i] == i);
       if (ident) {
         for (int64_t i = h; i < n; ++i) pm[i] = static_cast<int32_t>(i - h);
         continue;
       }
-      if (n == 2) {  // middle stage, distance 1
+      if (n == 2) {
         if (pm[0] == 1) {
           mask[off] |= (1u << (w_total - 1));
           mask[off + 1] |= (1u << (w_total - 1));
@@ -92,33 +93,29 @@ void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
         continue;
       }
       int32_t* inv = S.inv.data();
-      int8_t* h_out = S.h_out.data();
+      int32_t* nxt = S.nxt.data();
+      int8_t* vis = S.vis.data();
       for (int64_t i = 0; i < n; ++i) inv[pm[i]] = static_cast<int32_t>(i);
-      // 2-color outputs into middle halves by walking the pair cycles:
-      // output i and its pair i^h must use different halves; the two
-      // inputs of an input pair {j, j^h} must also land in different
-      // halves.
-      std::memset(h_out, -1, n);
+      for (int64_t i = 0; i < n; ++i)
+        nxt[i] = inv[pm[i] ^ h] ^ static_cast<int32_t>(h);
+      std::memset(vis, 0, n);
       for (int64_t s = 0; s < n; ++s) {
-        if (h_out[s] >= 0) continue;
-        int64_t i = s;
-        while (h_out[i] < 0) {
-          h_out[i] = 0;
-          // the input-pair partner of perm[i] feeds output i2 -> other
-          // half; i2's output-pair partner must then take half 0 again
-          const int64_t i2 = inv[pm[i] ^ h];
-          if (h_out[i2] < 0) h_out[i2] = 1;
-          i = i2 ^ h;
-        }
+        if (vis[s] | vis[s ^ h]) continue;
+        int32_t i = static_cast<int32_t>(s);
+        do {
+          vis[i] = 1;
+          i = nxt[i];
+        } while (i != s);
       }
-      // outer-stage masks + middle sub-permutations
-      int32_t* np = S.nperm.data() + off;
+      // masks + middle sub-perms; color(i) = 0 iff its cycle was walked
+      int32_t* np = S.nperm.data();
       for (int64_t i = 0; i < n; ++i) {
-        const int8_t ho = h_out[i];
+        const int32_t ho = vis[i] ? 0 : 1;
         if ((i >= h ? 1 : 0) != ho) mask[off + i] |= (1u << t_out);
-        const int64_t j = pm[i];
+        const int32_t j = pm[i];
         if ((j >= h ? 1 : 0) != ho) mask[off + j] |= (1u << t_in);
-        np[ho * h + (i & (h - 1))] = static_cast<int32_t>(j & (h - 1));
+        np[static_cast<int64_t>(ho) * h + (i & (h - 1))] =
+            static_cast<int32_t>(j & (h - 1));
       }
       std::memcpy(pm, np, n * sizeof(int32_t));
     }

@@ -208,18 +208,18 @@ CHUNK = 512  # slab chunk width: entries with more products are split
 
 
 def _ceil_pow2(x: np.ndarray) -> np.ndarray:
-    out = np.ones_like(x)
-    while True:
-        small = out < x
-        if not small.any():
-            return out
-        out = np.where(small, out * 2, out)
+    """Elementwise next power of two (>= 1) via the float exponent."""
+    x = np.maximum(x, 1)
+    e = np.frexp((x - 1).astype(np.float64))[1]  # ceil(log2(x)) for x>1
+    return np.where(x <= 1, 1, np.int64(1) << e).astype(x.dtype)
 
 
 def _build_slab_structure(
     ends: np.ndarray,
     p_total: int,
     src_pos: np.ndarray,
+    zero_pool: np.ndarray,
+    src_len: int,
     c_cap: int,
 ):
     """Bin-padded slab layout for the ESC accumulation.
@@ -269,32 +269,34 @@ def _build_slab_structure(
         row_cls = np.where(row_is_chunk, CHUNK, _ceil_pow2(row_len))
 
         class_sizes = sorted(set(np.unique(row_cls).tolist()))
-        order = np.argsort(
-            np.searchsorted(class_sizes, row_cls), kind="stable"
-        )
+        cls_code = np.searchsorted(class_sizes, row_cls)
+        order = np.argsort(cls_code, kind="stable")
         rank_of_row = np.empty(n_rows, dtype=np.int64)
         rank_of_row[order] = np.arange(n_rows)
+        # class boundaries in the sorted order: O(1) per-class slicing
+        cls_bounds = np.searchsorted(
+            cls_code[order], np.arange(len(class_sizes) + 1)
+        )
 
         classes = []
         idx_parts = []
         chunk_rank0 = None  # rank offset of the CHUNK class
         rank_base = 0
         for ci, L in enumerate(class_sizes):
-            rows_l = order[row_cls[order] == L]
+            rows_l = order[cls_bounds[ci] : cls_bounds[ci + 1]]
             cnt = rows_l.size
             # pad the member count to the lane width so the numeric phase's
             # halving adds stay 128-aligned (pad columns are sentinel-only)
             cnt_pad = _round_up(cnt, LANES)
             classes.append((int(L), int(cnt_pad)))
             # slab gather indices, member-minor (L, cnt_pad): the class
-            # reduction is then log2(L) contiguous half + half adds —
-            # vector adds at memory speed (XLA's reduce op runs ~10x
-            # slower than elementwise on this chip)
+            # reduction is then log2(L) contiguous half + half adds
             mat = np.full((L, cnt_pad), -1, dtype=np.int64)
-            mat[:, :cnt] = row_start[rows_l][None, :] + np.arange(L)[:, None]
-            mat[:, :cnt] = np.where(
-                np.arange(L)[:, None] < row_len[rows_l][None, :],
+            larange = np.arange(L, dtype=np.int64)[:, None]
+            np.add(row_start[rows_l][None, :], larange, out=mat[:, :cnt])
+            np.copyto(
                 mat[:, :cnt], -1,
+                where=larange >= row_len[rows_l][None, :],
             )
             idx_parts.append(mat.reshape(-1))
             if L == CHUNK:
@@ -331,19 +333,26 @@ def _build_slab_structure(
             item_target = np.zeros(0, np.int64)
         level_i += 1
 
-    # level-1 arrays: the shuffle source
+    # level-1 arrays: the shuffle source.  Pads draw zeros from the pool of
+    # unreferenced source positions (interior run pads + the tail); the
+    # pool's leftovers become extra dummy targets so the full src stays a
+    # permutation (the Clos router needs injectivity and the completion
+    # step assumes values < the padded grid).
     p_slab = slab_idx1.size
     valid = slab_idx1 >= 0
-    src = np.empty(p_slab, dtype=np.int32)
-    src[valid] = src_pos[slab_idx1[valid]]
-    # pads draw zeros from [p_total, p_slab): the source product array is
-    # zero beyond p_total (synthetic pad run / the shuffle's own padding)
     n_pads = int((~valid).sum())
-    if p_slab - p_total < n_pads:
+    n_total = max(p_slab, src_len)
+    pool = np.concatenate([
+        zero_pool.astype(np.int64),
+        np.arange(src_len, n_total, dtype=np.int64),
+    ])
+    # |pool| = n_total - p_total == n_pads + (n_total - p_slab): exact
+    if pool.size < n_pads:
         raise AssertionError("zero-source pool too small")  # cannot happen
-    # pads consume the zero pool [p_total, p_slab) exactly (every slab slot
-    # is either a real product or a pad), keeping src a permutation
-    src[~valid] = np.arange(p_total, p_total + n_pads, dtype=np.int32)
+    src = np.empty(n_total, dtype=np.int32)
+    src[:p_slab][valid] = src_pos[slab_idx1[valid]]
+    src[:p_slab][~valid] = pool[:n_pads]
+    src[p_slab:] = pool[n_pads:]
 
     # assembly permutation: c_val[e] = res_concat[asm_src[e]]; pad targets
     # absorb the leftover res positions so the map is a full permutation
@@ -433,20 +442,45 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
         )
 
         # runs of the A-entry-major expansion: one per A entry (its B row
-        # is a contiguous b.val slice)
+        # is a contiguous slice of the 8-aligned B table).  Both run
+        # starts and table offsets are 8-aligned so the device kernel
+        # reads every piece as a pure dynamic sublane slice from the
+        # pre-rolled bank (lane rolls cost ~8 cyc/vreg; slices are free).
+        deg8 = -(-deg_b // 8) * 8
+        rpt8 = np.zeros(deg8.size + 1, dtype=np.int64)
+        np.cumsum(deg8, out=rpt8[1:])
+        b8_len = int(rpt8[-1])
+        row_of = np.repeat(np.arange(deg8.size, dtype=np.int64), deg8)
+        off_in = np.arange(b8_len, dtype=np.int64) - rpt8[row_of]
+        b8_idx = np.where(
+            off_in < deg_b[row_of], rpt_b[row_of] + off_in, -1
+        )
         seg_len = deg_b[col_a]
+        seg8 = deg8[col_a]
         run_start = np.zeros(nnz_a, dtype=np.int64)
-        np.cumsum(seg_len[:-1], out=run_start[1:])
-        run_boff = rpt_b[col_a].astype(np.int64)
+        np.cumsum(seg8[:-1], out=run_start[1:])
+        p_total8 = int(seg8.sum())
+        run_boff = rpt8[col_a]
         run_aidx = np.arange(nnz_a, dtype=np.int64)
         pw_plan = build_piecewise_plan(
-            run_start, run_boff, run_aidx, p_total, nnz_a, b.nnz
+            run_start, run_boff, run_aidx, p_total8, nnz_a, b8_len,
+            b8_idx=b8_idx,
         )
         # closed-form position of each plan-order product in aem order
+        boff_u = rpt_b[col_a].astype(np.int64)
         aem_pos = (
-            run_start[apos] + (bpos.astype(np.int64) - run_boff[apos])
+            run_start[apos] + (bpos.astype(np.int64) - boff_u[apos])
         ).astype(np.int32)
-        slab = _build_slab_structure(ends, p_total, aem_pos, c_cap)
+        # unreferenced aem positions (interior run pads) are the zero pool
+        pad_cnt = seg8 - seg_len
+        pr = np.repeat(np.arange(nnz_a, dtype=np.int64), pad_cnt)
+        cum = np.zeros(nnz_a + 1, dtype=np.int64)
+        np.cumsum(pad_cnt, out=cum[1:])
+        k_in = np.arange(pr.size, dtype=np.int64) - cum[pr]
+        interior = run_start[pr] + seg_len[pr] + k_in
+        slab = _build_slab_structure(
+            ends, p_total, aem_pos, interior, p_total8, c_cap
+        )
         slab["shuffle"] = build_shuffle_plan(slab["src"])
         slab["asm_shuffle"] = build_shuffle_plan(slab["asm_src"])
 

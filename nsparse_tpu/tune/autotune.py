@@ -106,8 +106,21 @@ def autotune_spmv(
                                    matrix_key=key, isPlan=True)
         if measure:
             try:
-                f = jax.jit(lambda fmt, x: spmv(fmt, x))
-                ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)
+                m, n = a.shape
+                if m == n:
+                    # marginal chained timing: cancels dispatch latency and
+                    # the blocked-sync round-trip (tens of ms on the
+                    # tunnel-attached chip) that would otherwise swamp
+                    # sub-ms kernels and randomize the ranking
+                    from nsparse_tpu.utils.timing import time_marginal
+
+                    ms = time_marginal(
+                        lambda c, i, f: spmv(f, c) * 0.124, x,
+                        iters_lo=2, iters_hi=2 + max(trials, 4), aux=fmt,
+                    )
+                else:
+                    f = jax.jit(lambda fmt, x: spmv(fmt, x))
+                    ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)
             except Exception:
                 continue
             plan = dataclasses.replace(plan, measured_ms=ms)

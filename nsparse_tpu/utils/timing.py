@@ -54,7 +54,8 @@ def time_chained(step, init, iters: int = 20, reps: int = 3) -> float:
 
 
 def time_marginal(
-    step, init, iters_lo: int = 2, iters_hi: int = 10, reps: int = 3
+    step, init, iters_lo: int = 2, iters_hi: int = 10, reps: int = 3,
+    aux=None,
 ) -> float:
     """True device ms per iteration of ``carry = step(carry, i)``.
 
@@ -71,20 +72,41 @@ def time_marginal(
     Role analog: the reference times kernels with cudaEvent around an
     N-trial loop (``spgemm_hash.cu:40-49``); on this runtime the loop must
     live on-device and the sync cost must difference out.
+
+    Large structures the step reads (plans, formats) must go through
+    ``aux``, not a Python closure: closed-over device arrays are inlined
+    as literal constants at lowering, and a plan's mask arrays can blow
+    the remote compiler's request-size limit (HTTP 413) at scale.
+    With ``aux``, the step is called as ``step(c, i, aux)``.
     """
 
     def run(iters):
-        def body(i, c):
-            return jax.lax.optimization_barrier(step(c, i))
+        if aux is None:
+            def body(i, c):
+                return jax.lax.optimization_barrier(step(c, i))
 
-        loop = jax.jit(
-            lambda c, n_=iters: jax.lax.fori_loop(0, n_, body, c)
-        )
-        c = jax.block_until_ready(loop(init))  # compile + warm
+            loop = jax.jit(
+                lambda c, n_=iters: jax.lax.fori_loop(0, n_, body, c)
+            )
+            args = lambda c: (c,)
+        else:
+            def body_a(a):
+                def b(i, c):
+                    return jax.lax.optimization_barrier(step(c, i, a))
+
+                return b
+
+            loop = jax.jit(
+                lambda c, a, n_=iters: jax.lax.fori_loop(
+                    0, n_, body_a(a), c
+                )
+            )
+            args = lambda c: (c, aux)
+        c = jax.block_until_ready(loop(*args(init)))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            c = jax.block_until_ready(loop(c))
+            c = jax.block_until_ready(loop(*args(c)))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -94,3 +94,44 @@ def test_piecewise_f64_reference():
     )
     ref = _oracle(run_start, run_boff, run_aidx, lens, n, a_val, b_val)
     np.testing.assert_allclose(out[:n], ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_piecewise_aligned_bank(force_pallas, monkeypatch):
+    # 8-aligned run/table mode: pieces via the pre-rolled bank
+    monkeypatch.setattr(fg, "FORCE_PALLAS", force_pallas)
+    rng = np.random.default_rng(3)
+    nnz_a = 200
+    rows = 40
+    deg = rng.integers(1, 60, rows)
+    rpt = np.concatenate([[0], np.cumsum(deg)])
+    nnz_b = int(rpt[-1])
+    deg8 = -(-deg // 8) * 8
+    rpt8 = np.concatenate([[0], np.cumsum(deg8)])
+    b8_len = int(rpt8[-1])
+    row_of = np.repeat(np.arange(rows), deg8)
+    off_in = np.arange(b8_len) - rpt8[row_of]
+    b8_idx = np.where(off_in < deg[row_of], rpt[row_of] + off_in, -1)
+
+    cols = rng.integers(0, rows, nnz_a)
+    seg8 = deg8[cols]
+    run_start = np.concatenate([[0], np.cumsum(seg8)[:-1]])
+    n = int(seg8.sum())
+    run_boff = rpt8[cols]
+    run_aidx = rng.integers(0, nnz_a, nnz_a)
+    plan = pw.build_piecewise_plan(
+        run_start, run_boff, run_aidx, n, nnz_a, b8_len, b8_idx=b8_idx
+    )
+    assert plan.aligned
+    a_val = rng.standard_normal(nnz_a).astype(np.float32)
+    b_val = rng.standard_normal(nnz_b).astype(np.float32)
+    out = np.asarray(
+        pw.piecewise_expand(plan, jnp.asarray(a_val), jnp.asarray(b_val))
+    )
+    # oracle: run e copies row cols[e] (padded with zeros to deg8)
+    ref = np.zeros(n)
+    for e in range(nnz_a):
+        r = cols[e]
+        s = run_start[e]
+        ref[s : s + deg[r]] = a_val[run_aidx[e]] * b_val[rpt[r] : rpt[r + 1]]
+    np.testing.assert_allclose(out[:n], ref, rtol=1e-6)
