@@ -63,6 +63,9 @@ class ELL:
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     widths: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # per-slab (R_pad,) true row lengths (padding rows 0) — the validity
+    # mask for non-plus_times semirings
+    lens: Tuple[jax.Array, ...] = ()
 
     @property
     def dtype(self):
@@ -137,7 +140,7 @@ class ELL:
             val = np.zeros(1, dtype=val.dtype)
             col = np.zeros(1, dtype=col.dtype)
 
-        vals, colss, widths, colss_np = [], [], [], []
+        vals, colss, widths, colss_np, lens_l = [], [], [], [], []
         pos = np.zeros(m, dtype=np.int32)
         offset = 0
         lev_of_order = level[order]
@@ -164,6 +167,9 @@ class ELL:
             sval[:, : rows.size] = np.where(mask, val[idx], 0)
             scol[:, : rows.size] = np.where(mask, col[idx], lastcol[None, :])
             pos[rows] = offset + np.arange(rows.size, dtype=np.int32)
+            ln = np.zeros(rpad, dtype=np.int32)
+            ln[: rows.size] = d
+            lens_l.append(jnp.asarray(ln))
             vals.append(jnp.asarray(sval))
             colss.append(jnp.asarray(scol))
             colss_np.append(scol)
@@ -175,6 +181,7 @@ class ELL:
             colss = [jnp.zeros((1, LANES), dtype=np.int32)]
             colss_np = [np.zeros((1, LANES), dtype=np.int32)]
             widths = [1]
+            lens_l = [jnp.zeros(LANES, dtype=np.int32)]
 
         # gather routing: per-slab x-gather plans + output-permutation plan
         from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
@@ -194,6 +201,7 @@ class ELL:
             shape=(m, n),
             widths=tuple(widths),
             nnz=a.nnz,
+            lens=tuple(lens_l),
         )
 
     def to_dense(self) -> jax.Array:

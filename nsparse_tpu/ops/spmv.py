@@ -39,6 +39,15 @@ SEMIRINGS = {
     "max_times": (jax.ops.segment_max, jnp.multiply, -jnp.inf),
 }
 
+# elementwise reduce twin of each segment reduce (hot-path variants reduce
+# over dense axes, not segments)
+_ELEM_REDUCE = {
+    "plus_times": jnp.add,
+    "min_plus": jnp.minimum,
+    "max_plus": jnp.maximum,
+    "max_times": jnp.maximum,
+}
+
 
 def spmv_csr(a: CSR, x: jax.Array, semiring: str = "plus_times") -> jax.Array:
     """y = A (.) x for CSR over a configurable semiring.
@@ -58,16 +67,42 @@ def spmv_csr(a: CSR, x: jax.Array, semiring: str = "plus_times") -> jax.Array:
     return y[:m]
 
 
-def spmv_ell(a: ELL, x: jax.Array) -> jax.Array:
-    """y = A @ x for width-binned ELL slabs.
+def spmv_ell(
+    a: ELL, x: jax.Array, semiring: str = "plus_times"
+) -> jax.Array:
+    """y = A (.) x for width-binned ELL slabs over a configurable semiring.
 
     On TPU both gathers route through the windowed roll-scan kernel
     (``flat_gather``): the x-gather windows come from column locality inside
     each (8 slots x 128 rows) tile, and the output-permutation gather is
     window-bounded by the sigma-windowed sort (the reason SELL-C-sigma
     sorts in windows).  Off-TPU and for plan-less ELLs this is XLA's gather.
+
+    Non-``plus_times`` semirings (reference functor-template parity,
+    ``cuda-cpp/inc/nsparse_asm.hpp:56-104``) mask the zero-padded slab
+    slots with the reduce identity via the stored row lengths and reduce
+    over the width axis elementwise; empty rows yield the identity (the
+    same contract as :func:`spmv_csr`).
     """
     from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+    if semiring != "plus_times":
+        _, combine, ident = SEMIRINGS[semiring]
+        reduce_e = _ELEM_REDUCE[semiring]
+        outs = []
+        for val, col, ln in zip(a.vals, a.cols, a.lens):
+            w = val.shape[0]
+            g = combine(val, x[col])
+            valid = (
+                jnp.arange(w, dtype=jnp.int32)[:, None] < ln[None, :]
+            )
+            g = jnp.where(valid, g, jnp.asarray(ident, g.dtype))
+            acc = g[0]
+            for wi in range(1, w):
+                acc = reduce_e(acc, g[wi])
+            outs.append(acc)
+        y_all = jnp.concatenate(outs, axis=0)
+        return y_all[a.pos]
 
     if a.cols_gp and a.cols_gp[0] is not None:
         outs = []
@@ -137,8 +172,10 @@ def spmm(a, x: jax.Array) -> jax.Array:
     raise TypeError(f"spmm supports CSR/BSR, got {type(a)}")
 
 
-def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
-    """y = A @ x for DIA — shifted elementwise FMAs, zero gathers.
+def spmv_dia(
+    a: DIA, x: jax.Array, semiring: str = "plus_times"
+) -> jax.Array:
+    """y = A (.) x for DIA — shifted elementwise FMAs, zero gathers.
 
     y[i] = sum_d vals[d, i] * x[i + off_d]: each term is a contiguous
     (statically shifted) slice of x, so the whole SpMV is sequential HBM
@@ -146,10 +183,29 @@ def spmv_dia(a: DIA, x: jax.Array) -> jax.Array:
     (the structural class AMB's segmentation targets).  On TPU a fused
     Pallas kernel streams everything in one pass; the XLA pad+slice chain
     is the fallback (off-TPU, very wide bands, rectangular tails).
+
+    Non-``plus_times`` semirings treat the full stored diagonals as the
+    pattern (DIA semantics: in-band positions are entries, including
+    explicit zeros); out-of-range band slots contribute the identity.
     """
     m, n = a.shape
     mp = a.vals.shape[1]
     offs = a.offsets
+
+    if semiring != "plus_times":
+        _, combine, ident = SEMIRINGS[semiring]
+        reduce_e = _ELEM_REDUCE[semiring]
+        lo = min(0, min(offs, default=0))
+        hi = max(0, max(offs, default=0))
+        xp = jnp.pad(x, (-lo, hi + max(mp - m, 0) + max(m - n, 0)))
+        i = jnp.arange(mp)
+        y = jnp.full(mp, ident, dtype=a.vals.dtype)
+        for d, off in enumerate(offs):
+            xs = jax.lax.dynamic_slice(xp, ((-lo) + off,), (mp,))
+            t = combine(a.vals[d], xs)
+            inb = (i + off >= 0) & (i + off < n) & (i < m)
+            y = reduce_e(y, jnp.where(inb, t, jnp.asarray(ident, t.dtype)))
+        return y[:m]
 
     # pallas custom calls cannot carry f64 on TPU (XLA's x64-rewrite pass
     # does not handle them); doubles take the XLA emulated path
@@ -202,19 +258,30 @@ def spmv_bsr(a: BSR, x: jax.Array) -> jax.Array:
     return y.reshape(-1)[: a.shape[0]]
 
 
-def spmv(a, x: jax.Array, use_pallas: bool | None = None) -> jax.Array:
-    """Format-dispatched SpMV (the ``sf_spmv_amb`` / ``AMB::spmv`` analog)."""
+def spmv(
+    a, x: jax.Array, use_pallas: bool | None = None,
+    semiring: str = "plus_times",
+) -> jax.Array:
+    """Format-dispatched SpMV (the ``sf_spmv_amb`` / ``AMB::spmv`` analog).
+
+    ``semiring`` is supported on the CSR, ELL and DIA paths (the functor
+    parity of ``nsparse_asm.hpp:56-104``); BSR/COO accept plus_times only.
+    """
     from nsparse_tpu.formats.coo import COO
 
     if isinstance(a, CSR):
-        return spmv_csr(a, x)
+        return spmv_csr(a, x, semiring=semiring)
     if isinstance(a, COO):
+        if semiring != "plus_times":
+            raise NotImplementedError("COO SpMV supports plus_times only")
         return spmv_coo(a, x)
     if isinstance(a, DIA):
-        return spmv_dia(a, x)
+        return spmv_dia(a, x, semiring=semiring)
     if isinstance(a, ELL):
-        return spmv_ell(a, x)
+        return spmv_ell(a, x, semiring=semiring)
     if isinstance(a, BSR):
+        if semiring != "plus_times":
+            raise NotImplementedError("BSR SpMV supports plus_times only")
         if use_pallas is None:
             use_pallas = (
                 jax.default_backend() == "tpu"

@@ -52,10 +52,17 @@ def default_candidates(a: CSR) -> Iterable[Plan]:
     cands = [
         Plan(format="dia"),  # _build raises for non-diagonal matrices
         Plan(format="csr"),
+        # ELL knob sweep: sigma (sort window: 0 keeps banded structure,
+        # larger windows balance skewed rows) x width binning — the analog
+        # of the reference's seg_size x block_size(1..20) sweep
+        # (convert_amb.cu:556-600,878-916)
         Plan(format="ell", min_width=8, max_slabs=8, sigma=1024),
         Plan(format="ell", min_width=8, max_slabs=8, sigma=0),  # keep order
+        Plan(format="ell", min_width=8, max_slabs=8, sigma=256),
+        Plan(format="ell", min_width=8, max_slabs=8, sigma=None),  # global
         Plan(format="ell", min_width=16, max_slabs=6),
         Plan(format="ell", min_width=8, max_slabs=4),
+        Plan(format="ell", min_width=32, max_slabs=8, sigma=1024),
     ]
     # BSR only pays when block fill-in is sane; probe mean degree first.
     m, n = a.shape
@@ -63,6 +70,30 @@ def default_candidates(a: CSR) -> Iterable[Plan]:
         for bs in ((8, 128), (8, 256), (128, 128)):  # (128,128) = MXU kernel
             cands.append(Plan(format="bsr", blocksize=bs))
     return cands
+
+
+def _rank_chained(fmt, x, iters: int = 6) -> float:
+    """Blocked total of one ``iters``-chained SpMV loop (ranking score)."""
+    import time as _time
+
+    # fmt rides as an argument: closure arrays inline as literal constants
+    # and can blow the remote compiler's request limit
+    loop = jax.jit(
+        lambda c, f: jax.lax.fori_loop(
+            0, iters,
+            lambda i, cc: jax.lax.optimization_barrier(
+                spmv(f, cc) * 0.124
+            ),
+            c,
+        )
+    )
+    c = jax.block_until_ready(loop(x, fmt))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        c = jax.block_until_ready(loop(c, fmt))
+        best = min(best, _time.perf_counter() - t0)
+    return best * 1e3
 
 
 def autotune_spmv(
@@ -108,16 +139,13 @@ def autotune_spmv(
             try:
                 m, n = a.shape
                 if m == n:
-                    # marginal chained timing: cancels dispatch latency and
-                    # the blocked-sync round-trip (tens of ms on the
-                    # tunnel-attached chip) that would otherwise swamp
-                    # sub-ms kernels and randomize the ranking
-                    from nsparse_tpu.utils.timing import time_marginal
-
-                    ms = time_marginal(
-                        lambda c, i, f: spmv(f, c) * 0.124, x,
-                        iters_lo=2, iters_hi=2 + max(trials, 4), aux=fmt,
-                    )
+                    # rank by ONE blocked call of a K-iteration chained
+                    # loop: T = sync + K*work is monotone in the per-call
+                    # work, so the shared sync offset cancels in the
+                    # ranking while each candidate compiles only one
+                    # program (the remote compiler costs tens of seconds
+                    # per compile on the tunnel-attached chip)
+                    ms = _rank_chained(fmt, x, iters=max(trials, 6))
                 else:
                     f = jax.jit(lambda fmt, x: spmv(fmt, x))
                     ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)

@@ -143,3 +143,41 @@ def test_spmv_coo(rng):
     x = rng.standard_normal(30)
     y = np.asarray(spmv(coo, jnp.asarray(x)))
     np.testing.assert_allclose(y, a.to_scipy() @ x, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# semirings on the hot-path formats (nsparse_asm.hpp:56-104 functor parity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("semiring", ["min_plus", "max_times", "max_plus"])
+def test_ell_semiring_matches_csr(rng, semiring):
+    a = random_csr(300, 300, density=0.03, seed=11)
+    x = jnp.asarray(rng.standard_normal(300))
+    ell = ELL.from_csr(a)
+    got = np.asarray(spmv(ell, x, semiring=semiring))
+    want = np.asarray(spmv(a, x, semiring=semiring))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("semiring", ["min_plus", "max_times"])
+def test_dia_semiring_band_pattern(rng, semiring):
+    # DIA semantics: the full stored diagonals are the pattern
+    from nsparse_tpu.formats.dia import DIA
+    from nsparse_tpu.ops.spmv import SEMIRINGS, _ELEM_REDUCE
+
+    a = stencil_csr(16, 16, dtype=np.float64)
+    dia = DIA.from_csr(a)
+    x = jnp.asarray(rng.standard_normal(a.shape[1]))
+    got = np.asarray(spmv(dia, x, semiring=semiring))
+    _, combine, ident = SEMIRINGS[semiring]
+    m, n = a.shape
+    vals = np.asarray(dia.vals)
+    want = np.full(m, float(ident))
+    red = {"min_plus": np.minimum, "max_times": np.maximum}[semiring]
+    for d, off in enumerate(dia.offsets):
+        for i in range(m):
+            j = i + off
+            if 0 <= j < n:
+                want[i] = red(want[i], float(combine(vals[d, i], x[j])))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
