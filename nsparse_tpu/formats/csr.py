@@ -133,11 +133,18 @@ class CSR:
         """Expand rpt to a per-entry row index (padded tail -> M).
 
         The CSR->COO expansion the reference does implicitly by launching a
-        thread per row; here a vectorized searchsorted.
+        thread per row.  Scatter-increment + cumsum: O(M) scatter + O(nnz)
+        scan, vs a per-entry binary search (searchsorted costs ~20 gather
+        rounds per entry on this TPU — measured 100+ ms at 1M nnz).
         """
+        m = self.shape[0]
         idx = jnp.arange(self.capacity, dtype=jnp.int32)
-        rows = jnp.searchsorted(self.rpt, idx, side="right").astype(jnp.int32) - 1
-        return jnp.where(idx < self.nnz, rows, self.shape[0])
+        starts = jnp.zeros(self.capacity + 1, jnp.int32)
+        # row r begins at rpt[r]: +1 markers at every row start past 0,
+        # clipped into [0, capacity] (empty tail rows pile at the end)
+        starts = starts.at[jnp.clip(self.rpt[1:m], 0, self.capacity)].add(1)
+        rows = jnp.cumsum(starts[: self.capacity]).astype(jnp.int32)
+        return jnp.where(idx < self.nnz, rows, m)
 
     def host_arrays(self):
         """(rpt, col, val) as numpy — cached when built from host data.

@@ -33,6 +33,10 @@ import numpy as np
 from nsparse_tpu.formats.csr import CSR
 
 LANES = 128
+# x-shuffle build gates: route the x-expansion through the planned
+# shuffle when this fraction of slots would hit the XLA-gather fallback
+XSH_BAD_FRAC = 0.25
+XSH_MIN_SLOTS = 1 << 16
 SUBLANES = 8
 
 
@@ -66,6 +70,14 @@ class ELL:
     # per-slab (R_pad,) true row lengths (padding rows 0) — the validity
     # mask for non-plus_times semirings
     lens: Tuple[jax.Array, ...] = ()
+    # x-shuffle path (irregular matrices whose column windows exceed the
+    # roll-scan classes): the x-expansion is plan-known, so it routes as
+    # sorted-unique gather (monotone, band-class) -> forward fill in
+    # column-sorted order (win128-class) -> slack-Clos/Benes shuffle to
+    # slab-slot order — the SpGEMM B-stream pipeline applied to SpMV.
+    uniq_cols_gp: object = None   # FlatGatherPlan: x -> unique used cols
+    xfill_gp: object = None       # FlatGatherPlan: fill in col-sorted order
+    xsh: object = None            # ShufflePlan: col-sorted -> slab order
 
     @property
     def dtype(self):
@@ -85,6 +97,7 @@ class ELL:
         max_slabs: int = 8,
         sigma: int | None = 1024,
         window: int = 1024,
+        xshuffle: bool | None = None,
     ) -> "ELL":
         """Host-side conversion (the ``sf_csr2amb`` analog, minus the timer
         search — see ``nsparse_tpu.tune.autotune`` for that).
@@ -192,6 +205,43 @@ class ELL:
         )
         pos_gp = build_flat_gather_plan(pos, window=window)
 
+        # irregular columns: when a meaningful fraction of tiles falls off
+        # the roll-scan classes (XLA-gather fallback, 0.14 G/s measured),
+        # route the x-expansion through the planned-shuffle pipeline
+        # instead (plan-known movement at VPU shuffle-network speed)
+        uniq_gp = xfill_gp = xsh = None
+        fracs = [g.class_fracs for g in cols_gp]
+        slots = [c.size for c in colss_np]
+        bad = sum(
+            f.get("fallback", 0.0) * s for f, s in zip(fracs, slots)
+        ) / max(sum(slots), 1)
+        want_xsh = (
+            bad > XSH_BAD_FRAC if xshuffle is None else xshuffle
+        )
+        if want_xsh and sum(slots) >= XSH_MIN_SLOTS:
+            from nsparse_tpu.ops.kernels.shuffle_pallas import (
+                build_shuffle_plan,
+            )
+
+            cols_flat = np.concatenate(
+                [c.reshape(-1) for c in colss_np]
+            ).astype(np.int64)
+            order = np.argsort(cols_flat, kind="stable")
+            sorted_cols = cols_flat[order]
+            newgrp = np.empty(sorted_cols.size, dtype=bool)
+            if sorted_cols.size:
+                newgrp[0] = True
+                np.not_equal(
+                    sorted_cols[1:], sorted_cols[:-1], out=newgrp[1:]
+                )
+            fill_idx = (np.cumsum(newgrp) - 1).astype(np.int32)
+            uniq = sorted_cols[newgrp].astype(np.int32)
+            src = np.empty(cols_flat.size, dtype=np.int32)
+            src[order] = np.arange(cols_flat.size, dtype=np.int32)
+            uniq_gp = build_flat_gather_plan(uniq)
+            xfill_gp = build_flat_gather_plan(fill_idx)
+            xsh = build_shuffle_plan(src)
+
         return cls(
             vals=tuple(vals),
             cols=tuple(colss),
@@ -202,6 +252,9 @@ class ELL:
             widths=tuple(widths),
             nnz=a.nnz,
             lens=tuple(lens_l),
+            uniq_cols_gp=uniq_gp,
+            xfill_gp=xfill_gp,
+            xsh=xsh,
         )
 
     def to_dense(self) -> jax.Array:

@@ -32,7 +32,8 @@ from nsparse_tpu.utils.timing import time_fn
 def _build(a: CSR, plan: Plan):
     if plan.format == "ell":
         return ELL.from_csr(a, min_width=plan.min_width,
-                            max_slabs=plan.max_slabs, sigma=plan.sigma)
+                            max_slabs=plan.max_slabs, sigma=plan.sigma,
+                            xshuffle=plan.xshuffle)
     if plan.format == "bsr":
         return BSR.from_csr(a, blocksize=plan.blocksize)
     if plan.format == "dia":
@@ -63,6 +64,11 @@ def default_candidates(a: CSR) -> Iterable[Plan]:
         Plan(format="ell", min_width=16, max_slabs=6),
         Plan(format="ell", min_width=8, max_slabs=4),
         Plan(format="ell", min_width=32, max_slabs=8, sigma=1024),
+        # x-shuffle ELL: plan-routed x-expansion for irregular columns
+        # (the conversion routes a Clos network — seconds — so only one
+        # candidate carries it; the others skip the routing)
+        Plan(format="ell", min_width=8, max_slabs=8, sigma=1024,
+             xshuffle=True),
     ]
     # BSR only pays when block fill-in is sane; probe mean degree first.
     m, n = a.shape
@@ -145,7 +151,7 @@ def autotune_spmv(
                     # ranking while each candidate compiles only one
                     # program (the remote compiler costs tens of seconds
                     # per compile on the tunnel-attached chip)
-                    ms = _rank_chained(fmt, x, iters=max(trials, 6))
+                    ms = _rank_chained(fmt, x, iters=max(trials, 16))
                 else:
                     f = jax.jit(lambda fmt, x: spmv(fmt, x))
                     ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)

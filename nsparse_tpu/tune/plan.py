@@ -35,6 +35,7 @@ class Plan:
     max_slabs: int = 8
     sigma: Optional[int] = None
     blocksize: tuple = (8, 128)
+    xshuffle: bool = False  # ELL x-expansion via the planned shuffle
     isPlan: bool = False  # parity with sfPlan.isPlan (nsparse.h:52)
     measured_ms: float = float("inf")
     memory_bytes: int = 0

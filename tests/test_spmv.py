@@ -181,3 +181,23 @@ def test_dia_semiring_band_pattern(rng, semiring):
             if 0 <= j < n:
                 want[i] = red(want[i], float(combine(vals[d, i], x[j])))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_ell_xshuffle_path(monkeypatch):
+    # irregular columns route the x-expansion through the planned shuffle
+    import nsparse_tpu.formats.ell as ellmod
+    import nsparse_tpu.ops.kernels.flat_gather as fg
+    import nsparse_tpu.ops.kernels.shuffle_pallas as shp
+
+    monkeypatch.setattr(ellmod, "XSH_MIN_SLOTS", 1)
+    monkeypatch.setattr(ellmod, "XSH_BAD_FRAC", 0.0)
+    monkeypatch.setattr(shp, "_FALLBACK_N", 1)
+    rng = np.random.default_rng(5)
+    a = random_csr(700, 5000, density=0.01, seed=13, dtype=np.float32)
+    ell = ELL.from_csr(a)
+    assert ell.xsh is not None
+    x = jnp.asarray(rng.standard_normal(5000), dtype=jnp.float32)
+    want = np.asarray(spmv(a.astype(np.float64), x.astype(jnp.float64)))
+    monkeypatch.setattr(fg, "FORCE_PALLAS", True)
+    got = np.asarray(spmv(ell, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
