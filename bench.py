@@ -189,7 +189,20 @@ def main():
                 dtype=dtype,
             )
             log(f"spmv-{name}: M={a.shape[0]} nnz={a.nnz}, autotuning")
-            fmt, pl = autotune_spmv(a, x, trials=6)
+            from nsparse_tpu.tune.plan import Plan
+
+            # trimmed candidate list: remote-compiler time is ~30-60 s per
+            # candidate, the full sweep is for offline tuning
+            cands = [
+                Plan(format="dia"),
+                Plan(format="csr"),
+                Plan(format="ell", min_width=8, max_slabs=8, sigma=1024),
+                Plan(format="ell", min_width=8, max_slabs=8, sigma=0),
+                Plan(format="ell", min_width=8, max_slabs=8, sigma=1024,
+                     xshuffle=True),
+                Plan(format="bsr", blocksize=(8, 128)),
+            ]
+            fmt, pl = autotune_spmv(a, x, trials=6, candidates=cands)
             ms = time_marginal(
                 lambda c, i, f: spmv(f, c) * 0.124, x, 2, 10, aux=fmt
             )
