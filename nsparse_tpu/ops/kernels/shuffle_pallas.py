@@ -68,6 +68,12 @@ class ShufflePlan:
     cu: int = dataclasses.field(metadata=dict(static=True))
     cs: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
+    # 128x128-transposed masks for the d<128 middle stages (lane rolls
+    # cost ~8 cyc/vreg; the transposed middle runs them as sublane
+    # stages).  m1/m2/m3 then carry only the outer (d>=128) bits.
+    t1: object = None
+    t2: object = None
+    t3: object = None
 
     @property
     def uses_fallback(self) -> bool:
@@ -89,45 +95,53 @@ def _benes_stages(width: int):
     ]
 
 
-def _benes_kernel(x_ref, m_ref, o_ref, *, width: int):
-    """Apply per-row Benes-``width`` to a (S, 128) block.
+def _benes_kernel(x_ref, m_ref, o_ref, *, width: int, stages=None,
+                  sub_dist: bool = False):
+    """Apply (a subset of) the per-row Benes-``width`` stages to a (S, 128)
+    block.
 
     Rows are width/128 consecutive sublanes, power-of-two aligned within the
     block, so XOR-partner exchange at distance d is a global roll+select:
     lanes for d < 128, sublanes for d >= 128 (wrap reads are never selected
     because an XOR partner is always within the same aligned row).
+
+    ``stages``: (t, d) pairs to apply (default: all).  ``sub_dist``: the
+    data is in the 128x128-transposed layout, so distances d < 128 are
+    SUBLANE distances (lane rolls cost ~8 cyc/vreg on this VPU; sublane
+    rolls are ~free — this is the whole point of the transposed middle).
     """
     z = x_ref[:]
     m = m_ref[:]
     s_rows = z.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-    for t, d in enumerate(_benes_stages(width)):
-        if d < LANES:
-            left = pltpu.roll(z, (LANES - d) % LANES, 1)
-            right = pltpu.roll(z, d, 1)
-            part = jnp.where((lane & d) == 0, left, right)
-        else:
-            sd = d // LANES
+    if stages is None:
+        stages = list(enumerate(_benes_stages(width)))
+    for t, d in stages:
+        if sub_dist or d >= LANES:
+            sd = d // LANES if d >= LANES else d
             up = pltpu.roll(z, (s_rows - sd) % s_rows, 0)
             dn = pltpu.roll(z, sd % s_rows, 0)
             part = jnp.where((sub & sd) == 0, up, dn)
+        else:
+            left = pltpu.roll(z, (LANES - d) % LANES, 1)
+            right = pltpu.roll(z, d, 1)
+            part = jnp.where((lane & d) == 0, left, right)
         bit = (m >> t) & 1
         z = jnp.where(bit == 1, part, z)
     o_ref[:] = z
 
 
-def _benes_pass(x2: jax.Array, masks: jax.Array, width: int) -> jax.Array:
-    """Per-row Benes over a (total_sublanes, 128) array; rows are
-    width/128-sublane groups.  Blocks of >=256 sublanes amortize grid-step
-    overhead."""
+def _benes_call(x2, masks, width, stages=None, sub_dist=False):
     total = int(x2.shape[0])
-    block = max(256, width // LANES)
+    block = max(256, width // LANES if not sub_dist else LANES)
     while total % block:
         block //= 2
     grid = total // block
     return pl.pallas_call(
-        functools.partial(_benes_kernel, width=width),
+        functools.partial(
+            _benes_kernel, width=width, stages=stages, sub_dist=sub_dist
+        ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, LANES), lambda i: (i, 0),
@@ -140,6 +154,44 @@ def _benes_pass(x2: jax.Array, masks: jax.Array, width: int) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         interpret=_interpret(),
     )(x2, masks)
+
+
+def _benes_pass(x2: jax.Array, masks: jax.Array, width: int) -> jax.Array:
+    """Per-row Benes over a (total_sublanes, 128) array; rows are
+    width/128-sublane groups."""
+    return _benes_call(x2, masks, width)
+
+
+def _trans128(x2: jax.Array) -> jax.Array:
+    """128x128-block transpose of the flat (rows, 128) layout (XLA,
+    memory-bandwidth)."""
+    return x2.reshape(-1, LANES, LANES).transpose(0, 2, 1).reshape(
+        -1, LANES
+    )
+
+
+def _benes_pass_split(
+    x2: jax.Array, m_out: jax.Array, m_midt: jax.Array, width: int
+) -> jax.Array:
+    """Benes pass with the d<128 middle stages run in the transposed
+    layout: 13 lane-roll stages (~8 cyc/vreg each) become sublane stages
+    (~free) at the cost of two XLA block transposes (memory speed)."""
+    w = width.bit_length() - 1
+    s_total = 2 * w - 1
+    k = w - 7  # stages with d >= 128 on each side
+    stages = list(enumerate(_benes_stages(width)))
+    if k <= 0:  # width <= 128: every stage is lane-distance
+        yt = _benes_call(
+            _trans128(x2), m_midt, width, stages=stages, sub_dist=True
+        )
+        return _trans128(yt)
+    y = _benes_call(x2, m_out, width, stages=stages[:k])
+    yt = _benes_call(
+        _trans128(y), m_midt, width, stages=stages[k : s_total - k],
+        sub_dist=True,
+    )
+    y = _trans128(yt)
+    return _benes_call(y, m_out, width, stages=stages[s_total - k :])
 
 
 def build_shuffle_plan(src: np.ndarray, cu: int | None = None) -> ShufflePlan:
@@ -199,12 +251,32 @@ def build_shuffle_plan(src: np.ndarray, cu: int | None = None) -> ShufflePlan:
     m1 = benes_route(s1.reshape(-1), cs)
     m2 = benes_route(s2.reshape(-1), r)
     m3 = benes_route(s3.reshape(-1), cs)
+
+    def split(m, width):
+        """(outer-bit mask array, 128x128-transposed middle-bit array)."""
+        w = width.bit_length() - 1
+        s_total = 2 * w - 1
+        k = max(w - 7, 0)
+        outer_bits = ((1 << k) - 1) | (((1 << k) - 1) << (s_total - k))
+        flat = m.reshape(-1)
+        mo = (flat & outer_bits).reshape(-1, LANES)
+        mt = (flat & ~outer_bits & ((1 << s_total) - 1)).reshape(
+            -1, LANES, LANES
+        ).transpose(0, 2, 1).reshape(-1, LANES)
+        return mo, mt
+
+    m1o, m1t = split(m1, cs)
+    m2o, m2t = split(m2, r)
+    m3o, m3t = split(m3, cs)
     return ShufflePlan(
-        m1=jnp.asarray(m1.reshape(-1, LANES)),
-        m2=jnp.asarray(m2.reshape(-1, LANES)),
-        m3=jnp.asarray(m3.reshape(-1, LANES)),
+        m1=jnp.asarray(m1o),
+        m2=jnp.asarray(m2o),
+        m3=jnp.asarray(m3o),
         idx=None,
         r=r, cu=cu, cs=cs, n=n,
+        t1=jnp.asarray(m1t),
+        t2=jnp.asarray(m2t),
+        t3=jnp.asarray(m3t),
     )
 
 
@@ -227,9 +299,16 @@ def planned_shuffle(plan: ShufflePlan, x: jax.Array) -> jax.Array:
         [x.reshape(r, cu), jnp.zeros((r, cs - cu), x.dtype)], axis=1
     ).reshape(-1, LANES)
 
-    y1 = _benes_pass(zi, plan.m1, cs)
-    y2 = y1.reshape(r, cs).T.reshape(-1, LANES)
-    y3 = _benes_pass(y2, plan.m2, r)
-    y4 = y3.reshape(cs, r).T.reshape(-1, LANES)
-    y5 = _benes_pass(y4, plan.m3, cs)
+    if plan.t1 is not None:
+        y1 = _benes_pass_split(zi, plan.m1, plan.t1, cs)
+        y2 = y1.reshape(r, cs).T.reshape(-1, LANES)
+        y3 = _benes_pass_split(y2, plan.m2, plan.t2, r)
+        y4 = y3.reshape(cs, r).T.reshape(-1, LANES)
+        y5 = _benes_pass_split(y4, plan.m3, plan.t3, cs)
+    else:  # legacy single-array masks
+        y1 = _benes_pass(zi, plan.m1, cs)
+        y2 = y1.reshape(r, cs).T.reshape(-1, LANES)
+        y3 = _benes_pass(y2, plan.m2, r)
+        y4 = y3.reshape(cs, r).T.reshape(-1, LANES)
+        y5 = _benes_pass(y4, plan.m3, cs)
     return y5.reshape(r, cs)[:, :cu].reshape(-1)[: plan.n]
