@@ -32,7 +32,7 @@ def time_fn(fn: Callable[[], object], trials: int = 10, warmup: int = 1) -> floa
 
 
 def gflops(flops: float, ms: float) -> float:
-    return flops / (ms * 1e-3) / 1e9
+    return flops / (max(ms, 1e-6) * 1e-3) / 1e9
 
 
 def time_chained(step, init, iters: int = 20, reps: int = 3) -> float:
