@@ -102,6 +102,11 @@ def get_lib():
             _i32, ctypes.c_int64, ctypes.c_int64,  # perms, W, n_tiles
             _i32,                                  # mask32
         ]
+        lib.nsp_benes_route_split.restype = ctypes.c_int64
+        lib.nsp_benes_route_split.argtypes = [
+            _i32, ctypes.c_int64, ctypes.c_int64,  # perms, W, n_tiles
+            _i32, _i32, ctypes.c_int64,            # mo, mt, split_k
+        ]
         _lib = lib
         return _lib
 
@@ -140,6 +145,32 @@ def benes_route(perms: np.ndarray, W: int):
     if lib.nsp_benes_route(perms.reshape(-1), W, n_tiles, mask.reshape(-1)) != 0:
         raise ValueError(f"benes_route: bad width {W}")
     return mask
+
+
+def benes_route_split(perms: np.ndarray, W: int):
+    """Benes masks split at emission into the device's (outer, transposed-
+    middle) pair: outer-stage bits (XOR distance >= 128) in ``mo`` at the
+    natural flat position, middle-stage bits in ``mt`` at the 128x128 block-
+    transposed position (``(N//16384, 128, 128).transpose(0, 2, 1)`` flat
+    order).  Returns (mo, mt) flat int32, or None when the lib is missing
+    or N is not a multiple of 16384."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    perms = np.ascontiguousarray(perms, dtype=np.int32).reshape(-1, W)
+    n_tiles = perms.shape[0]
+    n = n_tiles * W
+    if n % 16384:
+        return None
+    w = W.bit_length() - 1
+    split_k = max(w - 7, 0)  # stages with XOR distance >= 128 are outer
+    mo = np.empty(n, dtype=np.int32)
+    mt = np.empty(n, dtype=np.int32)
+    rc = lib.nsp_benes_route_split(perms.reshape(-1), W, n_tiles, mo, mt,
+                                   split_k)
+    if rc != 0:
+        return None
+    return mo, mt
 
 
 def spgemm_plan_host(rpt_a, col_a, deg_a, rpt_b, col_b, deg_b, m, n, nnz_a):

@@ -48,8 +48,12 @@ namespace {
 // common case for slack/padding regions.
 // ---------------------------------------------------------------------------
 
+// W <= 65536 always (the 31-mask-bit cap), so wire ids fit uint16: the
+// tile-local scratch halves to <= 128 KB for the widest tiles and the
+// common Cs=2048 tiles are L1-resident — the routing walk is dependent
+// random loads, so footprint is the whole cost.
 struct BenesScratch {
-  std::vector<int32_t> perm, nperm, inv, nxt;
+  std::vector<uint16_t> perm, nperm, inv, nxt;
   std::vector<int8_t> vis;
   void resize(int64_t W) {
     perm.resize(W);
@@ -60,6 +64,13 @@ struct BenesScratch {
   }
 };
 
+// Flat-position transform of the 128x128 block transpose
+// (N/16384, 128, 128).transpose(0, 2, 1): the device's transposed-middle
+// Benes layout (sublane rolls are ~free; lane rolls cost ~8 cyc/vreg).
+inline int64_t trans128(int64_t p) {
+  return (p & ~int64_t(16383)) | ((p & 127) << 7) | ((p >> 7) & 127);
+}
+
 // Route one tile.  The 2-coloring walk follows cycles of the explicit
 // successor permutation next(i) = inv[perm[i] ^ h] ^ h, built in a
 // throughput-friendly independent pass so the serial chase costs one
@@ -67,58 +78,116 @@ struct BenesScratch {
 // its XOR-h image is the 1-colored partner cycle (Benes pair-graph
 // cycles are even, so the two never collide); the scan skips starts
 // whose pair cycle was already walked.
+// split_k > 0: emit the first/last split_k stages' bits to `mask` (outer)
+// and all other stages' bits to `mask_t` at the 128x128-transposed flat
+// position (both arrays indexed from the GLOBAL flat base `gbase`) — this
+// produces the device's (outer, transposed-middle) mask pair directly,
+// replacing a 2-pass numpy split + strided transpose per stage.
+// split_k == 0 (mask_t == nullptr): classic single-array emission.
 void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
-                     int32_t* mask, BenesScratch& S) {
-  std::memcpy(S.perm.data(), perm_in, W * sizeof(int32_t));
+                     int64_t gbase, int32_t* mask, int32_t* mask_t,
+                     int split_k, BenesScratch& S) {
+  uint16_t* pm_lvl = S.perm.data();
+  uint16_t* np_lvl = S.nperm.data();
+  for (int64_t i = 0; i < W; ++i)
+    pm_lvl[i] = static_cast<uint16_t>(perm_in[i]);
   for (int level = 0;; ++level) {
     const int64_t n = W >> level;
     if (n < 2) break;
     const int64_t h = n / 2;
     const int t_in = level;
     const int t_out = 2 * w_total - 2 - level;
+    // both stages of a level share outer/middle-ness: t_in=level is outer
+    // iff level < k, and t_out = 2w-2-level >= s_total-k iff level < k
+    const bool to_mid = (mask_t != nullptr) && level >= split_k;
+    int32_t* dst = to_mid ? mask_t : mask;
+    const bool last_level = (n >> 1) < 2;
     for (int64_t off = 0; off < W; off += n) {
-      int32_t* pm = S.perm.data() + off;
+      uint16_t* pm = pm_lvl + off;
+      uint16_t* np = np_lvl + off;
       // identity fast path (slack / padding): children need LOCAL values
       bool ident = true;
       for (int64_t i = 0; i < n; ++i) ident &= (pm[i] == i);
       if (ident) {
-        for (int64_t i = h; i < n; ++i) pm[i] = static_cast<int32_t>(i - h);
+        if (!last_level)
+          for (int64_t i = 0; i < n; ++i)
+            np[i] = static_cast<uint16_t>(i & (h - 1));
         continue;
       }
       if (n == 2) {
         if (pm[0] == 1) {
-          mask[off] |= (1u << (w_total - 1));
-          mask[off + 1] |= (1u << (w_total - 1));
+          const int64_t p0 = gbase + off;
+          if (to_mid) {
+            dst[trans128(p0)] |= (1u << (w_total - 1));
+            dst[trans128(p0 + 1)] |= (1u << (w_total - 1));
+          } else {
+            dst[p0] |= (1u << (w_total - 1));
+            dst[p0 + 1] |= (1u << (w_total - 1));
+          }
         }
         continue;
       }
-      int32_t* inv = S.inv.data();
-      int32_t* nxt = S.nxt.data();
-      int8_t* vis = S.vis.data();
-      for (int64_t i = 0; i < n; ++i) inv[pm[i]] = static_cast<int32_t>(i);
+      uint16_t* inv = S.inv.data();
+      uint16_t* nxt = S.nxt.data();
+      for (int64_t i = 0; i < n; ++i) inv[pm[i]] = static_cast<uint16_t>(i);
       for (int64_t i = 0; i < n; ++i)
-        nxt[i] = inv[pm[i] ^ h] ^ static_cast<int32_t>(h);
-      std::memset(vis, 0, n);
-      for (int64_t s = 0; s < n; ++s) {
-        if (vis[s] | vis[s ^ h]) continue;
-        int32_t i = static_cast<int32_t>(s);
-        do {
-          vis[i] = 1;
-          i = nxt[i];
-        } while (i != s);
+        nxt[i] = inv[pm[i] ^ h] ^ static_cast<uint16_t>(h);
+      // cycle walk; visited flag rides nxt's high bit when values fit 15
+      // bits (n <= 32768) — saves the vis array's memset + traffic.  The
+      // n == 65536 level (only the top of a W=65536 tile) keeps vis.
+      int8_t* vis = nullptr;
+      if (n <= 32768) {
+        for (int64_t s = 0; s < n; ++s) {
+          if ((nxt[s] | nxt[s ^ h]) & 0x8000u) continue;
+          uint16_t i = static_cast<uint16_t>(s);
+          do {
+            const uint16_t nx = nxt[i];
+            nxt[i] = nx | 0x8000u;
+            i = static_cast<uint16_t>(nx & 0x7fffu);
+          } while (i != s);
+        }
+      } else {
+        vis = S.vis.data();
+        std::memset(vis, 0, n);
+        for (int64_t s = 0; s < n; ++s) {
+          if (vis[s] | vis[s ^ h]) continue;
+          uint16_t i = static_cast<uint16_t>(s);
+          do {
+            vis[i] = 1;
+            i = nxt[i];
+          } while (i != s);
+        }
       }
-      // masks + middle sub-perms; color(i) = 0 iff its cycle was walked
-      int32_t* np = S.nperm.data();
-      for (int64_t i = 0; i < n; ++i) {
-        const int32_t ho = vis[i] ? 0 : 1;
-        if ((i >= h ? 1 : 0) != ho) mask[off + i] |= (1u << t_out);
-        const int32_t j = pm[i];
-        if ((j >= h ? 1 : 0) != ho) mask[off + j] |= (1u << t_in);
-        np[static_cast<int64_t>(ho) * h + (i & (h - 1))] =
-            static_cast<int32_t>(j & (h - 1));
+      // masks + middle sub-perms; color(i) = 0 iff its cycle was walked.
+      // Branchless emission: the swap conditions are ~coin flips, so the
+      // mispredict cost of conditional stores dwarfs an unconditional RMW
+      // of a possibly-zero bit.
+      const int64_t gp = gbase + off;
+      if (to_mid) {
+        for (int64_t i = 0; i < n; ++i) {
+          const uint32_t ho = (vis ? vis[i] : (nxt[i] >> 15)) ^ 1u;
+          const int64_t j = pm[i];
+          const uint32_t ci = (i >= h ? 1u : 0u) ^ ho;
+          const uint32_t cj = (j >= h ? 1u : 0u) ^ ho;
+          dst[trans128(gp + i)] |= (ci << t_out);
+          dst[trans128(gp + j)] |= (cj << t_in);
+          np[static_cast<int64_t>(ho) * h + (i & (h - 1))] =
+              static_cast<uint16_t>(j & (h - 1));
+        }
+      } else {
+        for (int64_t i = 0; i < n; ++i) {
+          const uint32_t ho = (vis ? vis[i] : (nxt[i] >> 15)) ^ 1u;
+          const int64_t j = pm[i];
+          const uint32_t ci = (i >= h ? 1u : 0u) ^ ho;
+          const uint32_t cj = (j >= h ? 1u : 0u) ^ ho;
+          dst[gp + i] |= (ci << t_out);
+          dst[gp + j] |= (cj << t_in);
+          np[static_cast<int64_t>(ho) * h + (i & (h - 1))] =
+              static_cast<uint16_t>(j & (h - 1));
+        }
       }
-      std::memcpy(pm, np, n * sizeof(int32_t));
     }
+    std::swap(pm_lvl, np_lvl);
   }
 }
 
@@ -139,7 +208,30 @@ int64_t nsp_benes_route(const int32_t* perms, int64_t W, int64_t n_tiles,
   BenesScratch scratch;
   scratch.resize(W);
   for (int64_t i = 0; i < n_tiles; ++i)
-    benes_route_one(perms + i * W, W, w_total, mask32 + i * W, scratch);
+    benes_route_one(perms + i * W, W, w_total, 0, mask32 + i * W, nullptr, 0,
+                    scratch);
+  return 0;
+}
+
+// Split emission: outer (first/last `split_k` stages) bits to `mo`, all
+// middle-stage bits to `mt` at the 128x128-transposed flat position —
+// exactly the (m, t) mask pair ShufflePlan stores.  Requires the total
+// element count to be a multiple of 16384 (the transpose block).
+int64_t nsp_benes_route_split(const int32_t* perms, int64_t W,
+                              int64_t n_tiles, int32_t* mo, int32_t* mt,
+                              int64_t split_k) {
+  if (W < 2 || (W & (W - 1)) != 0) return -1;
+  int w_total = 0;
+  while ((int64_t(1) << w_total) < W) ++w_total;
+  if (2 * w_total - 1 > 31) return -1;
+  if ((W * n_tiles) % 16384 != 0) return -2;
+  std::memset(mo, 0, sizeof(int32_t) * W * n_tiles);
+  std::memset(mt, 0, sizeof(int32_t) * W * n_tiles);
+  BenesScratch scratch;
+  scratch.resize(W);
+  for (int64_t i = 0; i < n_tiles; ++i)
+    benes_route_one(perms + i * W, W, w_total, i * W, mo, mt,
+                    static_cast<int>(split_k), scratch);
   return 0;
 }
 
@@ -272,7 +364,10 @@ int64_t nsp_clos_route_slack(const int32_t* src, int64_t R, int64_t Cu,
     }
   }
 
-  // complete every stage row to a full permutation of its width
+  // complete every stage row to a full permutation of its width.  Prefer
+  // row[i] = i for don't-care slots: identity-heavy slack regions collapse
+  // to the Benes router's identity fast path (and zero mask bits), which
+  // is most of the routing cost at 2x middle slack.
   std::vector<uint64_t> seen;
   auto complete = [&seen](int32_t* row, int64_t W) {
     seen.assign((W + 63) / 64, 0);
@@ -280,6 +375,11 @@ int64_t nsp_clos_route_slack(const int32_t* src, int64_t R, int64_t Cu,
       const int32_t v = row[i];
       if (v >= 0) seen[v >> 6] |= (uint64_t(1) << (v & 63));
     }
+    for (int64_t i = 0; i < W; ++i)
+      if (row[i] < 0 && !(seen[i >> 6] & (uint64_t(1) << (i & 63)))) {
+        row[i] = static_cast<int32_t>(i);
+        seen[i >> 6] |= (uint64_t(1) << (i & 63));
+      }
     int64_t next = 0;
     for (int64_t i = 0; i < W; ++i) {
       if (row[i] >= 0) continue;

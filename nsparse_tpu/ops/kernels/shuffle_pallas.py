@@ -248,12 +248,20 @@ def build_shuffle_plan(src: np.ndarray, cu: int | None = None) -> ShufflePlan:
     ) if n_pad > n else src
 
     s1, s2, s3 = clos_route_slack(src_pad, r, cu, cs)
-    m1 = benes_route(s1.reshape(-1), cs)
-    m2 = benes_route(s2.reshape(-1), r)
-    m3 = benes_route(s3.reshape(-1), cs)
 
-    def split(m, width):
-        """(outer-bit mask array, 128x128-transposed middle-bit array)."""
+    def route(stage, width):
+        """(outer-bit mask array, 128x128-transposed middle-bit array).
+
+        The native router emits the split pair directly (middle bits at the
+        block-transposed position); the numpy fallback splits a single mask
+        array after the fact."""
+        from nsparse_tpu.native import benes_route_split
+
+        pair = benes_route_split(stage.reshape(-1), width)
+        if pair is not None:
+            mo, mt = pair
+            return mo.reshape(-1, LANES), mt.reshape(-1, LANES)
+        m = benes_route(stage.reshape(-1), width)
         w = width.bit_length() - 1
         s_total = 2 * w - 1
         k = max(w - 7, 0)
@@ -265,9 +273,9 @@ def build_shuffle_plan(src: np.ndarray, cu: int | None = None) -> ShufflePlan:
         ).transpose(0, 2, 1).reshape(-1, LANES)
         return mo, mt
 
-    m1o, m1t = split(m1, cs)
-    m2o, m2t = split(m2, r)
-    m3o, m3t = split(m3, cs)
+    m1o, m1t = route(s1, cs)
+    m2o, m2t = route(s2, r)
+    m3o, m3t = route(s3, cs)
     return ShufflePlan(
         m1=jnp.asarray(m1o),
         m2=jnp.asarray(m2o),

@@ -263,8 +263,12 @@ def _build_slab_structure(
         cum = np.zeros(item_len.size + 1, dtype=np.int64)
         np.cumsum(rep, out=cum[1:])
         j_in = np.arange(n_rows, dtype=np.int64) - cum[row_item]
-        row_start = item_start[row_item] + j_in * CHUNK
-        row_len = np.minimum(item_len[row_item] - j_in * CHUNK, CHUNK)
+        # int32 from here on: slab positions < 2^31 and the (L, cnt_pad)
+        # class mats total ~p_slab slots — half the memory traffic matters
+        row_start = (item_start[row_item] + j_in * CHUNK).astype(np.int32)
+        row_len = np.minimum(
+            item_len[row_item] - j_in * CHUNK, CHUNK
+        ).astype(np.int32)
         row_is_chunk = big[row_item]
         row_cls = np.where(row_is_chunk, CHUNK, _ceil_pow2(row_len))
 
@@ -291,8 +295,8 @@ def _build_slab_structure(
             classes.append((int(L), int(cnt_pad)))
             # slab gather indices, member-minor (L, cnt_pad): the class
             # reduction is then log2(L) contiguous half + half adds
-            mat = np.full((L, cnt_pad), -1, dtype=np.int64)
-            larange = np.arange(L, dtype=np.int64)[:, None]
+            mat = np.full((L, cnt_pad), -1, dtype=np.int32)
+            larange = np.arange(L, dtype=np.int32)[:, None]
             np.add(row_start[rows_l][None, :], larange, out=mat[:, :cnt])
             np.copyto(
                 mat[:, :cnt], -1,
@@ -311,12 +315,12 @@ def _build_slab_structure(
             rank_base += cnt
         levels.append(tuple(classes))
         this_idx = np.concatenate(idx_parts) if idx_parts else np.zeros(
-            0, np.int64
+            0, np.int32
         )
         if level_i == 0:
             slab_idx1 = this_idx
         else:
-            lvl_idx.append(this_idx.astype(np.int32))
+            lvl_idx.append(this_idx)
 
         # items surviving to the next level: big items; their new products
         # are their chunk ranks within this level's CHUNK class
@@ -466,11 +470,10 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
             run_start, run_boff, run_aidx, p_total8, nnz_a, b8_len,
             b8_idx=b8_idx,
         )
-        # closed-form position of each plan-order product in aem order
-        boff_u = rpt_b[col_a].astype(np.int64)
-        aem_pos = (
-            run_start[apos] + (bpos.astype(np.int64) - boff_u[apos])
-        ).astype(np.int32)
+        # closed-form position of each plan-order product in aem order:
+        # per-A-entry delta keeps the p_total-sized temporaries int32
+        delta = (run_start - rpt_b[col_a]).astype(np.int32)
+        aem_pos = delta[apos] + np.asarray(bpos, np.int32)
         # unreferenced aem positions (interior run pads) are the zero pool
         pad_cnt = seg8 - seg_len
         pr = np.repeat(np.arange(nnz_a, dtype=np.int64), pad_cnt)
