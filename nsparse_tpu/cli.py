@@ -184,12 +184,18 @@ def cmd_spgemm(args):
         return 0 if ok else 1
 
     t0 = time.perf_counter()
-    plan = spgemm_plan(a, a)
+    if args.plan_cache:
+        from nsparse_tpu.tune.spgemm_cache import spgemm_plan_cached
+
+        plan, hit = spgemm_plan_cached(a, a, args.plan_cache)
+    else:
+        plan, hit = spgemm_plan(a, a), False
     sym_ms = (time.perf_counter() - t0) * 1e3
     # the compression funnel the reference prints (spgemm_hash.cu:64)
     print(f"nnz(A): {a.nnz}  intermediate products: {plan.n_products}  "
           f"nnz(C): {plan.c_nnz}")
-    print(f"symbolic (plan): {sym_ms:.1f} ms")
+    print(f"symbolic (plan): {sym_ms:.1f} ms"
+          + ("  [cache hit]" if hit else ""))
 
     f = jax.jit(spgemm_numeric)
     ms = time_fn(lambda: f(plan, a, a), trials=args.trials, warmup=1)
@@ -322,6 +328,9 @@ def main(argv=None):
     sg = sub.add_parser("spgemm")
     sg.add_argument("matrix")
     sg.add_argument("--trials", type=int, default=11)
+    sg.add_argument("--plan-cache", default=None, metavar="DIR",
+                    help="directory for serialized SpGEMM plans (symbolic "
+                         "phase cached per sparsity fingerprint)")
     sg.add_argument("--method", choices=["auto", "esc", "bsr"],
                     default="auto")
     sg.set_defaults(fn=cmd_spgemm)
