@@ -70,10 +70,15 @@ def main():
     oks = {}
 
     # Pay the one-time device->host handshake up front (minutes on the
-    # tunnel-attached chip); every later pull is then fast.
+    # tunnel-attached chip); every later pull is then fast.  The soft
+    # deadline clock starts AFTER it: the deadline bounds benchmark work,
+    # and the handshake is tunnel weather (observed 10 s - 11 min) that
+    # would otherwise silently skip every extra.
+    global T0
     log("handshake: first device->host pull")
     float(jnp.sum(jnp.zeros(8)))
-    log("handshake done")
+    log("handshake done; deadline clock starts now")
+    T0 = time.time()
 
     def measure(step, init, aux):
         """Marginal timing with an iteration count adapted to the kernel:
