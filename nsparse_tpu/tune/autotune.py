@@ -137,7 +137,14 @@ def autotune_spmv(
         except Exception:
             continue
         fb = _footprint(fmt)
-        if fb > max_bytes_ratio * csr_bytes:
+        # In measured mode the timing is the objective; the byte cap only
+        # guards against absurd builds (keep a loose 128x).  The tight cap
+        # IS the objective in model mode.  Without this distinction the
+        # x-shuffle ELL (routed masks ~64x CSR bytes but 2x faster than
+        # the XLA baseline on R-MAT-16) was pruned before ever being
+        # timed and irregular matrices fell back to CSR.
+        cap = max(max_bytes_ratio, 128.0) if measure else max_bytes_ratio
+        if fb > cap * csr_bytes:
             continue
         plan = dataclasses.replace(plan, memory_bytes=fb, chip=chip,
                                    matrix_key=key, isPlan=True)
