@@ -1,16 +1,29 @@
-"""Driver benchmark: one JSON line on stdout.
+"""Driver benchmark: one JSON line on stdout (the LAST line wins).
 
 Headline: the general (skewed R-MAT) SpGEMM C=A^2 numeric phase — the
 reference's flagship workload (hash SpGEMM,
 ``cuda-c/src/kernel/kernel_spgemm_hash_template.cu``).  Extras: the MXU
 block path on an FEM-class matrix, tuner-selected SpMV on a banded stencil
-and on an irregular graph, and the XLA/BCOO vendor-role baselines.
+and on an irregular graph, a committed real-structure matrix, and the
+XLA/BCOO vendor-role baselines.
+
+Robustness contract (round-3 fix for the r02 timeout): the current result
+state is printed as a JSON line *after every completed stage*, so whatever
+the driver's parser reads last is always a valid, maximally-enriched line —
+even if the process is later killed.  A SIGTERM/SIGINT handler flushes the
+state one final time (GNU timeout sends TERM first).  The soft deadline is
+budgeted from *process start*, handshake included: tunnel weather eats the
+budget visibly instead of blowing through the driver's hard timeout.
+(Reference harness analog: ``spmv_amb.cu:46-64`` always prints its result.)
 
 All kernel timings use the marginal chained method
 (``utils.timing.time_marginal``): on the tunnel-attached chip a blocked
 sync costs 30-55 ms and pipelined dispatch ~1.2-4 ms, so absolute
 small-kernel timings are meaningless; the marginal cost of one more
-chained iteration is the honest device time.
+chained iteration is the honest device time.  Sub-ms kernels escalate the
+iteration spread (up to 16->512) until the marginal difference resolves;
+a measurement that still underflows is flagged ``*_suspect`` rather than
+silently floored (the r02 DIA "154% of roofline" artifact).
 
 Every check records ok=true/false; checks skipped on the soft deadline are
 recorded as skipped and excluded from rc — a deadline-starved run must not
@@ -21,20 +34,49 @@ the BASELINE.md target (>=70% of roofline) scoring 1.0.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
+
+T0 = time.time()  # process start: the deadline includes the handshake
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1000"))
+
+STATE = {
+    "metric": "spgemm_numeric_gflops",
+    "value": 0.0,
+    "unit": "GFLOPS",
+    "vs_baseline": 0.0,
+    "status": "starting",
+}
+OKS = {}
 
 
 def log(msg):
     print(f"[bench +{time.time() - T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
-T0 = time.time()
-DEADLINE_S = float(__import__("os").environ.get("BENCH_DEADLINE_S", "900"))
+def emit(status=None):
+    """Print the current state as a JSON line; the driver parses the last
+    stdout line, so progressive emission survives any later kill."""
+    if status is not None:
+        STATE["status"] = status
+    print(json.dumps(STATE), flush=True)
 
 
-def over_budget():
-    return time.time() - T0 > DEADLINE_S
+def _flush_and_exit(signum, frame):
+    del frame
+    STATE["killed_by_signal"] = int(signum)
+    emit(status="killed")
+    os._exit(1)
+
+
+signal.signal(signal.SIGTERM, _flush_and_exit)
+signal.signal(signal.SIGINT, _flush_and_exit)
+
+
+def over_budget(reserve: float = 0.0) -> bool:
+    return time.time() - T0 > DEADLINE_S - reserve
 
 
 def main():
@@ -66,30 +108,42 @@ def main():
 
     dtype = np.float32
     spec = chip_specs()
-    extras = {"device": jax.devices()[0].device_kind, "chip": spec.name}
-    oks = {}
+    STATE.update(device=jax.devices()[0].device_kind, chip=spec.name)
 
     # Pay the one-time device->host handshake up front (minutes on the
-    # tunnel-attached chip); every later pull is then fast.  The soft
-    # deadline clock starts AFTER it: the deadline bounds benchmark work,
-    # and the handshake is tunnel weather (observed 10 s - 11 min) that
-    # would otherwise silently skip every extra.
-    global T0
+    # tunnel-attached chip); every later pull is then fast.
     log("handshake: first device->host pull")
     float(jnp.sum(jnp.zeros(8)))
-    log("handshake done; deadline clock starts now")
-    T0 = time.time()
+    STATE["handshake_s"] = round(time.time() - T0, 1)
+    log(f"handshake done in {STATE['handshake_s']}s "
+        f"({DEADLINE_S - (time.time() - T0):.0f}s budget left)")
+    emit(status="handshake_done")
 
     def measure(step, init, aux):
-        """Marginal timing with an iteration count adapted to the kernel:
-        sub-ms kernels need a wide iteration spread to resolve above the
-        blocked-sync noise (~±2 ms)."""
-        ms = time_marginal(step, init, 2, 10, aux=aux)
-        if ms < 1.5:
-            ms = time_marginal(step, init, 4, 64, aux=aux)
-        # noise can underflow the difference to ~0; floor at 10 us so the
-        # derived GFLOPS stays finite (and obviously suspect)
-        return max(ms, 1e-2)
+        """Marginal timing with an iteration spread adapted to the kernel:
+        sub-ms kernels need a wide spread to resolve above the blocked-sync
+        noise (~±2 ms).  Returns (ms, suspect): instead of flooring an
+        underflowed difference, escalate the spread; only if the widest
+        spread still underflows is the (floored) value marked suspect."""
+        ms = 0.0
+        for lo, hi in ((2, 10), (4, 64), (16, 512)):
+            ms = time_marginal(step, init, lo, hi, aux=aux)
+            if ms * (hi - lo) > 40.0:  # spread resolved >> sync noise
+                break
+        suspect = ms < 2e-3  # < 1 us: below any plausible dispatch floor
+        return max(ms, 2e-3), suspect
+
+    def record_time(prefix, ms, suspect, gf=None, roof=None):
+        STATE[f"{prefix}_ms"] = round(ms, 4)
+        if suspect:
+            STATE[f"{prefix}_suspect"] = True
+        if gf is not None:
+            STATE[f"{prefix}_gflops"] = round(gf, 2)
+        if roof is not None:
+            frac = gf / roof
+            STATE[f"{prefix}_roofline_frac"] = round(frac, 4)
+            if frac > 1.0:
+                STATE[f"{prefix}_suspect"] = True
 
     # --- HEADLINE: general SpGEMM C = A^2 on a skewed R-MAT graph ---------
     g = rmat_csr(14, edge_factor=8, dtype=dtype, seed=1)
@@ -108,35 +162,39 @@ def main():
         ga = _dc.replace(ga, val=ga.val * (1.0 + c[0] * 1e-30))
         return spgemm_numeric(p, ga, gb).val[:4]
 
-    ms_esc = measure(_esc_step, jnp.zeros(4, dtype), (plan, g, g))
+    ms_esc, susp = measure(_esc_step, jnp.zeros(4, dtype), (plan, g, g))
     esc_gf = gflops(plan.flops, ms_esc)
     esc_roof = spgemm_roofline_gflops(
         g.nnz, g.nnz, plan.c_nnz, plan.n_products, val_bytes=4, spec=spec
     )
-    log("spgemm-esc: verifying on device")
+    target = 0.70 * esc_roof
+    STATE.update(
+        value=round(esc_gf, 2),
+        vs_baseline=round(esc_gf / target, 3),
+        spgemm_plan_s=round(plan_s, 1),
+        spgemm_n_products=plan.n_products,
+        spgemm_nnz_c=plan.c_nnz,
+    )
+    record_time("spgemm_numeric", ms_esc, susp, esc_gf, esc_roof)
+    # the headline line lands NOW; the verify + extras enrich it afterwards
+    emit(status="headline_measured")
+    log(
+        f"spgemm-esc: {ms_esc:.2f} ms -> {esc_gf:.2f} GFLOPS "
+        f"({esc_gf / esc_roof:.1%} roofline); verifying on device"
+    )
     ok_esc = check_spgemm_answer_device(
         fnum(plan, g, g), spgemm_oracle(g, g),
         abs_ref=spgemm_abs_oracle(g, g),
     )
-    oks["esc"] = bool(ok_esc)
-    extras.update(
-        spgemm_gflops=round(esc_gf, 2),
-        spgemm_numeric_ms=round(ms_esc, 4),
-        spgemm_plan_s=round(plan_s, 1),
-        spgemm_n_products=plan.n_products,
-        spgemm_nnz_c=plan.c_nnz,
-        spgemm_roofline_frac=round(esc_gf / esc_roof, 4),
-        spgemm_ok=bool(ok_esc),
-    )
-    log(
-        f"spgemm-esc: {ms_esc:.2f} ms -> {esc_gf:.2f} GFLOPS "
-        f"({esc_gf / esc_roof:.1%} roofline) ok={ok_esc}"
-    )
+    OKS["esc"] = bool(ok_esc)
+    STATE["spgemm_ok"] = bool(ok_esc)
+    emit(status="headline_done")
+    log(f"spgemm-esc: ok={ok_esc}")
 
     # --- MXU block path on an FEM-class matrix ----------------------------
-    if over_budget():
+    if over_budget(reserve=120):
         log("over budget: skipping the FEM/MXU extra")
-        extras.update(fem_skipped=True)
+        STATE["fem_skipped"] = True
     else:
         fem = fem_block_csr(
             512, dof=16, neighbors=6, bandwidth=24, dtype=dtype, seed=3
@@ -151,8 +209,13 @@ def main():
             )
             return spgemm_bsr_blocks(p)
 
-        ms_fem = measure(_bsr_step, fblk(bplan), bplan)
+        ms_fem, susp = measure(_bsr_step, fblk(bplan), bplan)
         fem_gf = gflops(bplan.flops, ms_fem)
+        record_time("fem_spgemm", ms_fem, susp, fem_gf)
+        STATE["fem_block_pairs"] = bplan.n_pairs
+        STATE["fem_mxu_tflops"] = round(
+            2 * bplan.n_pairs * bplan.bs**3 / (ms_fem * 1e-3) / 1e12, 2
+        )
         log("spgemm-bsr: verifying on device")
         cb = fblk(bplan)
         ref_fem = spgemm_oracle(fem, fem)
@@ -174,112 +237,131 @@ def main():
             cb.reshape(-1), ref_blocks.reshape(-1), dtype=dtype,
             scale=scale_blocks.reshape(-1),
         )
-        oks["fem"] = bool(ok_fem)
-        extras.update(
-            fem_spgemm_gflops=round(fem_gf, 2),
-            fem_spgemm_ms=round(ms_fem, 4),
-            fem_block_pairs=bplan.n_pairs,
-            fem_mxu_tflops=round(
-                2 * bplan.n_pairs * bplan.bs**3 / (ms_fem * 1e-3) / 1e12, 2
-            ),
-            fem_ok=bool(ok_fem),
-        )
+        OKS["fem"] = bool(ok_fem)
+        STATE["fem_ok"] = bool(ok_fem)
+        emit(status="fem_done")
         log(
             f"spgemm-bsr: {fem_gf:.1f} useful GFLOPS "
-            f"({extras['fem_mxu_tflops']} TFLOPS on the MXU) ok={ok_fem}"
+            f"({STATE['fem_mxu_tflops']} TFLOPS on the MXU) ok={ok_fem}"
         )
 
     # --- SpMV: tuner-selected formats + XLA baseline ----------------------
-    if over_budget():
-        log("over budget: skipping the SpMV extras")
-        extras.update(spmv_skipped=True)
+    from nsparse_tpu.tune.plan import Plan
+
+    # trimmed candidate lists: remote-compiler time is ~30-60 s per
+    # candidate; the full sweep is for offline tuning.  Shape-informed
+    # pre-trim (banded -> DIA-leaning, power-law -> x-shuffle ELL).
+    spmv_cases = (
+        ("banded", lambda: stencil_csr(512, 512, dtype=dtype), [
+            Plan(format="dia"),
+            Plan(format="ell", min_width=8, max_slabs=8, sigma=0),
+            Plan(format="csr"),
+        ]),
+        ("irregular",
+         lambda: rmat_csr(16, edge_factor=16, dtype=dtype, seed=2), [
+             Plan(format="ell", min_width=8, max_slabs=8, sigma=1024,
+                  xshuffle=True),
+             Plan(format="ell", min_width=8, max_slabs=8, sigma=1024),
+             Plan(format="csr"),
+         ]),
+    )
+    for name, make_a, cands in spmv_cases:
+        if over_budget(reserve=100):
+            log(f"over budget: skipping the spmv-{name} extra")
+            STATE[f"spmv_{name}_skipped"] = True
+            continue
+        a = make_a()
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(a.shape[1]),
+            dtype=dtype,
+        )
+        log(f"spmv-{name}: M={a.shape[0]} nnz={a.nnz}, autotuning")
+        fmt, pl = autotune_spmv(a, x, trials=6, candidates=cands)
+        ms, susp = measure(lambda c, i, f: spmv(f, c) * 0.124, x, fmt)
+        gf = gflops(2.0 * a.nnz, ms)
+        padded = getattr(fmt, "padded_nnz", a.nnz)
+        roof = spmv_roofline_gflops(
+            a.nnz, *a.shape, val_bytes=4, padded_nnz=padded, spec=spec
+        )
+        ok, _ = ans_check_device(
+            jax.jit(spmv)(fmt, x), spmv_oracle(a, x), dtype=dtype,
+            scale=spmv_abs_oracle(a, x),
+        )
+        OKS[f"spmv_{name}"] = bool(ok)
+        STATE[f"spmv_{name}_format"] = pl.format
+        record_time(f"spmv_{name}", ms, susp, gf, roof)
+        STATE[f"spmv_{name}_ok"] = bool(ok)
+        emit(status=f"spmv_{name}_measured")
+        # vendor-role baseline: jax BCOO matvec (XLA gather/scatter)
+        from jax.experimental import sparse as jsparse
+
+        ab = jsparse.BCOO.from_scipy_sparse(a.to_scipy()).sort_indices()
+        ms_xla, _ = measure(lambda c, i, m: (m @ c) * 0.124, x, ab)
+        STATE[f"spmv_{name}_xla_ms"] = round(ms_xla, 4)
+        STATE[f"spmv_{name}_vs_xla"] = round(ms_xla / ms, 2)
+        emit(status=f"spmv_{name}_done")
+        log(
+            f"spmv-{name}: [{pl.format}] {ms:.3f} ms -> {gf:.1f} GFLOPS "
+            f"({gf / roof:.0%} roofline, {ms_xla / ms:.1f}x vs XLA) "
+            f"ok={ok}"
+        )
+
+    # --- real-structure matrix (committed fixture; network egress is
+    # unavailable here, so this stands in for the SuiteSparse harness
+    # workload, reference README.md:30-37) ---------------------------------
+    if over_budget(reserve=90):
+        log("over budget: skipping the real-matrix extra")
+        STATE["real_skipped"] = True
     else:
-        for name, a in (
-            ("banded", stencil_csr(512, 512, dtype=dtype)),
-            ("irregular", rmat_csr(16, edge_factor=16, dtype=dtype, seed=2)),
-        ):
-            x = jnp.asarray(
-                np.random.default_rng(0).standard_normal(a.shape[1]),
-                dtype=dtype,
-            )
-            log(f"spmv-{name}: M={a.shape[0]} nnz={a.nnz}, autotuning")
-            from nsparse_tpu.tune.plan import Plan
+        from nsparse_tpu.io.matrix_market import read_mtx
 
-            # trimmed candidate list: remote-compiler time is ~30-60 s per
-            # candidate, the full sweep is for offline tuning
-            cands = [
-                Plan(format="dia"),
-                Plan(format="csr"),
-                Plan(format="ell", min_width=8, max_slabs=8, sigma=1024),
-                Plan(format="ell", min_width=8, max_slabs=8, sigma=0),
-                Plan(format="ell", min_width=8, max_slabs=8, sigma=1024,
-                     xshuffle=True),
-                Plan(format="bsr", blocksize=(8, 128)),
-            ]
-            fmt, pl = autotune_spmv(a, x, trials=6, candidates=cands)
-            ms = measure(lambda c, i, f: spmv(f, c) * 0.124, x, fmt)
-            gf = gflops(2.0 * a.nnz, ms)
-            padded = getattr(fmt, "padded_nnz", a.nnz)
-            roof = spmv_roofline_gflops(
-                a.nnz, *a.shape, val_bytes=4, padded_nnz=padded, spec=spec
-            )
-            ok, _ = ans_check_device(
-                jax.jit(spmv)(fmt, x), spmv_oracle(a, x), dtype=dtype,
-                scale=spmv_abs_oracle(a, x),
-            )
-            oks[f"spmv_{name}"] = bool(ok)
-            # vendor-role baseline: jax BCOO matvec (XLA gather/scatter)
-            from jax.experimental import sparse as jsparse
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "data", "circuit_zipf.mtx",
+        )
+        ar = read_mtx(path, dtype=dtype)
+        STATE["real_matrix"] = "circuit_zipf"
+        log(f"real: {os.path.basename(path)} M={ar.shape[0]} nnz={ar.nnz}")
+        xr = jnp.asarray(
+            np.random.default_rng(1).standard_normal(ar.shape[1]),
+            dtype=dtype,
+        )
+        ms_r, susp = measure(
+            lambda c, i, f: spmv(f, c) * 0.124, xr, ar
+        )
+        gf_r = gflops(2.0 * ar.nnz, ms_r)
+        ok_r, _ = ans_check_device(
+            jax.jit(spmv)(ar, xr), spmv_oracle(ar, xr), dtype=dtype,
+            scale=spmv_abs_oracle(ar, xr),
+        )
+        OKS["real_spmv"] = bool(ok_r)
+        record_time("real_spmv", ms_r, susp, gf_r)
+        STATE["real_spmv_ok"] = bool(ok_r)
+        # real-matrix SpGEMM A@A through the ESC path
+        rplan = spgemm_plan(ar, ar)
+        cg = jax.jit(spgemm_numeric)(rplan, ar, ar)
+        ok_rg = check_spgemm_answer_device(
+            cg, spgemm_oracle(ar, ar), abs_ref=spgemm_abs_oracle(ar, ar)
+        )
+        OKS["real_spgemm"] = bool(ok_rg)
+        STATE["real_spgemm_ok"] = bool(ok_rg)
+        STATE["real_spgemm_nnz_c"] = rplan.c_nnz
+        emit(status="real_done")
+        log(f"real: spmv {ms_r:.3f} ms ok={ok_r}; spgemm ok={ok_rg}")
 
-            ab = jsparse.BCOO.from_scipy_sparse(a.to_scipy()).sort_indices()
-            ms_xla = measure(
-                lambda c, i, m: (m @ c) * 0.124, x, ab
-            )
-            extras.update(
-                {
-                    f"spmv_{name}_format": pl.format,
-                    f"spmv_{name}_gflops": round(gf, 2),
-                    f"spmv_{name}_ms": round(ms, 4),
-                    f"spmv_{name}_roofline_frac": round(gf / roof, 3),
-                    f"spmv_{name}_ok": bool(ok),
-                    f"spmv_{name}_xla_ms": round(ms_xla, 4),
-                    f"spmv_{name}_vs_xla": round(ms_xla / ms, 2),
-                }
-            )
-            log(
-                f"spmv-{name}: [{pl.format}] {ms:.3f} ms -> {gf:.1f} GFLOPS "
-                f"({gf / roof:.0%} roofline, {ms_xla / ms:.1f}x vs XLA) "
-                f"ok={ok}"
-            )
-
-    target = 0.70 * esc_roof
-    out = {
-        "metric": "spgemm_numeric_gflops",
-        "value": round(esc_gf, 2),
-        "unit": "GFLOPS",
-        "vs_baseline": round(esc_gf / target, 3),
-        **extras,
-    }
-    print(json.dumps(out))
-    return 0 if all(oks.values()) else 1
+    emit(status="complete")
+    return 0 if all(OKS.values()) else 1
 
 
 if __name__ == "__main__":
     try:
         sys.exit(main())
-    except Exception as e:  # always emit the one JSON line
+    except BaseException as e:  # always leave a valid last JSON line
+        if isinstance(e, SystemExit):
+            raise
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "metric": "spgemm_numeric_gflops",
-                    "value": 0.0,
-                    "unit": "GFLOPS",
-                    "vs_baseline": 0.0,
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                }
-            )
-        )
+        STATE["error"] = f"{type(e).__name__}: {e}"[:300]
+        emit(status="error")
         sys.exit(1)

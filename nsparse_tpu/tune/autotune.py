@@ -49,6 +49,19 @@ def _footprint(fmt) -> int:
     return int(sum(l.size * l.dtype.itemsize for l in leaves))
 
 
+def _log_drop(plan: Plan, stage: str, why) -> None:
+    """A candidate silently vanishing from the search hides real breakage
+    (a broken format class looks like 'the tuner chose CSR'); say why."""
+    import sys
+
+    print(
+        f"[autotune] dropped candidate {plan.format}"
+        f"({plan.knobs_repr() if hasattr(plan, 'knobs_repr') else ''}) "
+        f"at {stage}: {why}",
+        file=sys.stderr,
+    )
+
+
 def default_candidates(a: CSR) -> Iterable[Plan]:
     cands = [
         Plan(format="dia"),  # _build raises for non-diagonal matrices
@@ -108,7 +121,7 @@ def autotune_spmv(
     candidates: Optional[Sequence[Plan]] = None,
     measure: bool = True,
     trials: int = 5,
-    max_bytes_ratio: float = 8.0,
+    max_bytes_ratio: Optional[float] = None,
     cache_dir: Optional[str] = None,
 ):
     """Pick the fastest SpMV format for ``a``.
@@ -117,6 +130,11 @@ def autotune_spmv(
     footprint objective only (the reference's non-AT mode).
     ``max_bytes_ratio`` prunes candidates whose storage exceeds that multiple
     of CSR's (protects against pathological BSR fill-in before timing).
+    When not given it defaults per mode: 8x in model mode (the footprint IS
+    the objective there) and a loose 128x guard in measured mode (the
+    x-shuffle ELL's routed masks are ~64x CSR bytes but measured 2x faster
+    than XLA on R-MAT-16 — a tight default cap would prune it untimed).
+    An explicitly-passed cap is honored as-is in BOTH modes.
     """
     chip = jax.devices()[0].device_kind.replace(" ", "_")
     key = matrix_fingerprint(a)
@@ -130,21 +148,20 @@ def autotune_spmv(
                         dtype=a.dtype)
     csr_bytes = _footprint(a)
 
+    cap = max_bytes_ratio if max_bytes_ratio is not None else (
+        128.0 if measure else 8.0
+    )
     best_fmt, best_plan, best_score = None, None, float("inf")
     for plan in (candidates or default_candidates(a)):
         try:
             fmt = _build(a, plan)
-        except Exception:
+        except Exception as e:
+            _log_drop(plan, "build", e)
             continue
         fb = _footprint(fmt)
-        # In measured mode the timing is the objective; the byte cap only
-        # guards against absurd builds (keep a loose 128x).  The tight cap
-        # IS the objective in model mode.  Without this distinction the
-        # x-shuffle ELL (routed masks ~64x CSR bytes but 2x faster than
-        # the XLA baseline on R-MAT-16) was pruned before ever being
-        # timed and irregular matrices fell back to CSR.
-        cap = max(max_bytes_ratio, 128.0) if measure else max_bytes_ratio
         if fb > cap * csr_bytes:
+            _log_drop(plan, "footprint",
+                      f"{fb} > {cap:g}x csr ({csr_bytes})")
             continue
         plan = dataclasses.replace(plan, memory_bytes=fb, chip=chip,
                                    matrix_key=key, isPlan=True)
@@ -162,7 +179,8 @@ def autotune_spmv(
                 else:
                     f = jax.jit(lambda fmt, x: spmv(fmt, x))
                     ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)
-            except Exception:
+            except Exception as e:
+                _log_drop(plan, "measure", e)
                 continue
             plan = dataclasses.replace(plan, measured_ms=ms)
             score = ms

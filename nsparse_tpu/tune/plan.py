@@ -70,12 +70,15 @@ class Plan:
 
 
 def matrix_fingerprint(a) -> str:
-    """Stable short key for a CSR matrix (shape, nnz, structure hash)."""
+    """Stable short key for a CSR matrix (shape, nnz, structure hash).
+
+    Hashes the FULL rpt/col arrays: sampled hashing collided on matrices
+    differing only between sample strides, silently returning stale cached
+    SpGEMM plans.  sha1 over a few MB is negligible next to the symbolic
+    phase it keys."""
     h = hashlib.sha1()
     h.update(str(a.shape).encode())
     h.update(str(a.nnz).encode())
-    rpt = np.asarray(a.rpt)
-    h.update(rpt[:: max(len(rpt) // 64, 1)].tobytes())
-    col = np.asarray(a.col)
-    h.update(col[:: max(len(col) // 64, 1)].tobytes())
+    h.update(np.ascontiguousarray(np.asarray(a.rpt)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(a.col)).tobytes())
     return h.hexdigest()[:16]

@@ -120,19 +120,26 @@ def load_spgemm_plan(path: str):
     return _decode(meta["tree"], arrays)
 
 
-def plan_cache_path(directory: str, a, b, chip: str = "") -> str:
+def plan_cache_path(
+    directory: str, a, b, chip: str = "", plan_kwargs: dict | None = None
+) -> str:
     key = f"{matrix_fingerprint(a)}_{matrix_fingerprint(b)}"
     if chip:
         key += f"_{chip}"
+    if plan_kwargs:
+        # build options select different plan code paths (e.g. shuffle=
+        # False); a cache hit must match them, not just the sparsity
+        enc = json.dumps(plan_kwargs, sort_keys=True, default=str)
+        key += "_" + __import__("hashlib").sha1(enc.encode()).hexdigest()[:8]
     return os.path.join(directory, f"spgemm_{key}_v{PLAN_VERSION}.npz")
 
 
 def spgemm_plan_cached(a, b, directory: str, **plan_kwargs):
     """``spgemm_plan`` with an on-disk cache keyed by the two sparsity
-    fingerprints.  Returns (plan, hit)."""
+    fingerprints and the plan build options.  Returns (plan, hit)."""
     from nsparse_tpu.ops.spgemm import spgemm_plan
 
-    path = plan_cache_path(directory, a, b)
+    path = plan_cache_path(directory, a, b, plan_kwargs=plan_kwargs)
     plan = load_spgemm_plan(path)
     if plan is not None:
         return plan, True
