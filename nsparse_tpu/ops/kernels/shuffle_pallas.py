@@ -288,6 +288,93 @@ def build_shuffle_plan(src: np.ndarray, cu: int | None = None) -> ShufflePlan:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileBenesPlan:
+    """Routing for a batch of INDEPENDENT width-``w`` tile permutations
+    (``out[t*w + i] = x[t*w + perm_t[i]]``) applied as ONE Benes pass.
+
+    This is the window-local counterpart of the 3-stage slack-Clos
+    ``ShufflePlan``: when a permutation factorizes into power-of-two tiles
+    (the row-localized SpGEMM arenas), a single per-tile Benes needs
+    ``2*log2(w) - 1`` stages instead of the global network's ~70 and no
+    slack expansion — the TPU analog of the reference keeping each row's
+    hash table in one block's shared memory (``HashSpGEMM.hpp:509-700``).
+
+    Attributes:
+      mo: (rows, 128) int32 outer-stage masks (XOR distance >= 128).
+      mt: (rows, 128) int32 transposed-middle masks (distance < 128, at
+        the 128x128 block-transposed position).
+      idx: fallback gather indices (small n / no native router).
+      w: tile width (power of two, 256..65536).
+      n: total slots (n_tiles * w).
+    """
+
+    mo: jax.Array
+    mt: jax.Array
+    idx: object  # Optional[jax.Array]
+    w: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def uses_fallback(self) -> bool:
+        return self.idx is not None
+
+
+def build_tile_benes(
+    perms: np.ndarray, width: int, force: bool = False
+) -> TileBenesPlan:
+    """Route ``n_tiles = perms.size // width`` independent tile-local
+    permutations.  ``perms`` holds TILE-LOCAL source indices (concatenated).
+
+    The caller should pad the batch so ``perms.size`` is a multiple of
+    ``max(32768, width)`` (identity tiles route to zero masks and are
+    nearly free; 32768 keeps the (256, 128) kernel blocks that run ~10x
+    faster than minimal ones); the hard mask-path requirement is a
+    multiple of ``max(16384, width)`` (the 128x128 transpose block).
+    Smaller batches take the XLA-gather fallback unless ``force`` (tests).
+    """
+    perms = np.asarray(perms, dtype=np.int32).reshape(-1)
+    n = perms.size
+    if n % width:
+        raise ValueError(f"{n} slots not a multiple of width {width}")
+
+    def fallback():
+        glob = (
+            perms.reshape(-1, width)
+            + (np.arange(n // width, dtype=np.int64)[:, None] * width)
+        ).reshape(-1).astype(np.int32)
+        return TileBenesPlan(
+            mo=jnp.zeros((1, LANES), jnp.int32),
+            mt=jnp.zeros((1, LANES), jnp.int32),
+            idx=jnp.asarray(glob), w=width, n=n,
+        )
+
+    if (n < _FALLBACK_N and not force) or n % max(16384, width):
+        return fallback()
+    from nsparse_tpu.native import benes_route_split, get_lib
+
+    if get_lib() is None:
+        return fallback()
+    pair = benes_route_split(perms, width)
+    if pair is None:
+        return fallback()
+    mo, mt = pair
+    return TileBenesPlan(
+        mo=jnp.asarray(mo.reshape(-1, LANES)),
+        mt=jnp.asarray(mt.reshape(-1, LANES)),
+        idx=None, w=width, n=n,
+    )
+
+
+def tile_benes_apply(plan: TileBenesPlan, x: jax.Array) -> jax.Array:
+    """Apply the batched per-tile permutation to ``x`` (flat, >= plan.n)."""
+    if plan.idx is not None:
+        return x[plan.idx]
+    x2 = x[: plan.n].reshape(-1, LANES)
+    return _benes_pass_split(x2, plan.mo, plan.mt, plan.w).reshape(-1)
+
+
 def planned_shuffle(plan: ShufflePlan, x: jax.Array) -> jax.Array:
     """out[i] = x[src[i]] for the routed permutation; x flat, length >= n
     (tail slots beyond plan.n must be zero-padding or garbage the caller

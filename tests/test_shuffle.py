@@ -106,3 +106,37 @@ def test_planned_shuffle_fallback_small():
     x = jnp.arange(512, dtype=jnp.float32)
     out = np.asarray(sp.planned_shuffle(plan, x))
     np.testing.assert_array_equal(out, np.arange(512)[src])
+
+
+def test_tile_benes_batch(monkeypatch):
+    """Independent per-tile permutations via one Benes pass (the
+    row-localized arena shuffle)."""
+    monkeypatch.setattr(sp, "_FALLBACK_N", 1)
+    rng = np.random.default_rng(7)
+    for width, n_tiles in ((512, 32), (2048, 8), (16384, 1)):
+        n = width * n_tiles
+        perms = np.concatenate(
+            [rng.permutation(width) for _ in range(n_tiles)]
+        ).astype(np.int32)
+        plan = sp.build_tile_benes(perms, width, force=True)
+        assert not plan.uses_fallback, (width, n_tiles)
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        out = np.asarray(jax.jit(sp.tile_benes_apply)(plan, x))
+        ref = np.asarray(x).reshape(n_tiles, width)
+        ref = np.take_along_axis(
+            ref, perms.reshape(n_tiles, width), axis=1
+        ).reshape(-1)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_tile_benes_fallback_small():
+    perms = np.concatenate(
+        [np.random.default_rng(1).permutation(256) for _ in range(2)]
+    )
+    plan = sp.build_tile_benes(perms, 256)
+    assert plan.uses_fallback
+    x = jnp.arange(512, dtype=jnp.float32)
+    out = np.asarray(sp.tile_benes_apply(plan, x))
+    ref = np.asarray(x).reshape(2, 256)
+    ref = np.take_along_axis(ref, perms.reshape(2, 256), axis=1).reshape(-1)
+    np.testing.assert_array_equal(out, ref)
