@@ -209,13 +209,17 @@ def build_runcopy_plan(
 
 
 def _make_rc_kern(j_budget: int, sub: int):
-    def kern(blk_ref, srow_ref, cut_ref, end_ref, *refs):
-        # refs: 2 * sub * j_budget paired (8, 128) source blocks (a piece's
-        # 8 source rows straddle two 1024-granular blocks), aliased out
-        # input, out
-        blocks = refs[:-2]
+    # piece scalars ride a blocked SMEM operand (8-row blocks at i // 8 —
+    # the prefetch operand is SMEM-size-capped at ~1 MB and only the block
+    # ids must be prefetched for the index maps); columns: [n_j srow |
+    # n_j cut | n_j end]
+    n_j = sub * j_budget
+
+    def kern(bp_ref, desc_ref, *refs):
+        del bp_ref
+        blocks = refs[:-2]  # 2 * n_j paired (8, 128) source blocks
         out_ref = refs[-1]
-        del blk_ref, refs
+        r = pl.program_id(0) % 8
         pos = (
             jax.lax.broadcasted_iota(
                 jnp.int32, (TILE_ROWS, LANES), 0
@@ -229,13 +233,14 @@ def _make_rc_kern(j_budget: int, sub: int):
                 cat = jnp.concatenate(
                     [blocks[2 * jj][:], blocks[2 * jj + 1][:]], axis=0
                 )
-                srow = srow_ref[k, j]
+                srow = desc_ref[r, jj]
                 # rows [srow, srow + 8) of the 16-row pair, srow in [0, 8)
                 seg = pltpu.roll(
                     cat, (2 * TILE_ROWS - srow) % (2 * TILE_ROWS), 0
                 )[:TILE_ROWS]
-                acc = jnp.where(pos >= cut_ref[k, j], seg, acc)
-                acc = jnp.where(pos >= end_ref[k, j], 0.0, acc)
+                acc = jnp.where(pos >= desc_ref[r, n_j + jj], seg, acc)
+                acc = jnp.where(pos >= desc_ref[r, 2 * n_j + jj], 0.0,
+                                acc)
             out_ref[pl.ds(k * TILE_ROWS, TILE_ROWS), :] = acc
 
     return kern
@@ -250,51 +255,66 @@ def _rc_class_call(J, SUBC, ids, blk, srow, cut, end, src2, out):
         ).reshape(-1)
         blk = blk.reshape(-1, J)
     block_rows = sub * TILE_ROWS
-    # the output tile id rides in column 0 of the prefetch array, the
-    # n_j = sub * J source-block ids in the rest
+    # prefetch: [out tile id | n_j block ids]; piece scalars in a blocked
+    # SMEM operand (the prefetch operand is SMEM-size-capped)
     n_j = sub * J
+    n_steps = int(ids.shape[0])
+    # FLAT prefetch: a 2-D (n, k) prefetch operand is lane-padded to
+    # (n, 128) in SMEM (measured: it blew the 1 MB SMEM cap); 1-D stays
+    # contiguous.  Layout: step-major [out tile id, n_j block ids].
     blkp = jnp.concatenate(
-        [ids.reshape(-1, 1), blk.reshape(ids.shape[0], n_j)], axis=1
+        [ids.reshape(-1, 1), blk.reshape(n_steps, n_j)], axis=1
+    ).reshape(-1)
+    stride = 1 + n_j
+    desc = jnp.concatenate(
+        [
+            srow.reshape(n_steps, n_j),
+            cut.reshape(n_steps, n_j),
+            end.reshape(n_steps, n_j),
+        ],
+        axis=1,
     )
+    pad_steps = _round_up(n_steps, 8) - n_steps
+    if pad_steps:
+        desc = jnp.concatenate(
+            [desc, jnp.full((pad_steps, 3 * n_j), TILE, desc.dtype)]
+        )
 
     def mk_src_spec(jj, second):
         return pl.BlockSpec(
             (TILE_ROWS, LANES),
-            lambda i, bp, jj=jj, s=int(second): (bp[i, 1 + jj] + s, 0),
+            lambda i, bp, jj=jj, s=int(second): (
+                bp[i * stride + 1 + jj] + s, 0
+            ),
             memory_space=pltpu.VMEM,
-        )
-
-    def smem_vec():
-        return pl.BlockSpec(
-            (sub, J), lambda i, bp: (i, 0), memory_space=pltpu.SMEM
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ids.shape[0],),
+        grid=(n_steps,),
         in_specs=(
-            [smem_vec(), smem_vec(), smem_vec()]
+            [pl.BlockSpec((8, 3 * n_j), lambda i, bp: (i // 8, 0),
+                          memory_space=pltpu.SMEM)]
             + [mk_src_spec(jj // 2, jj % 2) for jj in range(2 * n_j)]
-            + [pl.BlockSpec((block_rows, LANES), lambda i, bp: (bp[i, 0], 0),
-                            memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(
+                (block_rows, LANES),
+                lambda i, bp: (bp[i * stride], 0),
+                memory_space=pltpu.VMEM,
+            )]
         ),
         out_specs=pl.BlockSpec(
-            (block_rows, LANES), lambda i, bp: (bp[i, 0], 0),
+            (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
             memory_space=pltpu.VMEM,
         ),
     )
     kern = _make_rc_kern(J, sub)
-    srow2 = srow.reshape(-1, J)
-    cut2 = cut.reshape(-1, J)
-    end2 = end.reshape(-1, J)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
-        input_output_aliases={4 + 2 * n_j: 0},
+        input_output_aliases={2 + 2 * n_j: 0},
         interpret=_interpret(),
-    )(blkp, srow2, cut2, end2,
-      *([src2] * (2 * n_j)), out)
+    )(blkp, desc, *([src2] * (2 * n_j)), out)
 
 
 def runcopy(plan: RunCopyPlan, src: jax.Array) -> jax.Array:

@@ -152,6 +152,10 @@ class SpgemmPlan:
     slab_levels: Tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
+    # row-localized window arenas (ops/spgemm_window.py); when set, the
+    # numeric phase routes per-window Benes + run-copy extraction instead
+    # of the global slab shuffle
+    win: object = None  # Optional[WindowStructure]
 
     @property
     def c_capacity(self) -> int:
@@ -221,6 +225,7 @@ def _build_slab_structure(
     zero_pool: np.ndarray,
     src_len: int,
     c_cap: int,
+    targets: np.ndarray | None = None,
 ):
     """Bin-padded slab layout for the ESC accumulation.
 
@@ -231,6 +236,12 @@ def _build_slab_structure(
     product array, pads -> zero sources), per-level class tables,
     level >= 2 gather indices, and the per-(level, class) assembly index
     arrays.
+
+    ``targets``: optional GLOBAL output-entry id per item (default
+    ``arange(len(ends))``) — the window-arena path feeds a SUBSET of
+    entries (fallback rows + deep window slabs) through this structure and
+    composes the assembly permutation itself from the returned raw
+    (``asm_entry``, ``asm_pos``, ``res_off``) values.
 
     The binning realizes the reference's per-row FLOP classes
     (``set_max_bin``/``set_min_bin``, kernel_spgemm_hash_template.cu:59-235)
@@ -251,7 +262,11 @@ def _build_slab_structure(
     res_off = 0          # running offset into the concatenated res arrays
     slab_idx1 = None     # level-1: plan-order product index per slab slot
 
-    item_target = np.arange(c_nnz, dtype=np.int64)
+    item_target = (
+        np.asarray(targets, dtype=np.int64)
+        if targets is not None
+        else np.arange(c_nnz, dtype=np.int64)
+    )
     item_start, item_len = starts, lens
     level_i = 0
     while item_start.size:
@@ -358,26 +373,38 @@ def _build_slab_structure(
     src[:p_slab][~valid] = pool[:n_pads]
     src[p_slab:] = pool[n_pads:]
 
+    e_all = np.concatenate(asm_entry) if asm_entry else np.zeros(0, np.int64)
+    p_all = np.concatenate(asm_pos) if asm_pos else np.zeros(0, np.int64)
+    out = dict(
+        src=src,
+        levels=tuple(levels),
+        lvl_idx=tuple(lvl_idx),
+        asm_entry=e_all,
+        asm_pos=p_all,
+        res_off=res_off,
+        p_slab=p_slab,
+    )
+    if targets is not None:  # caller composes the assembly permutation
+        return out
+
     # assembly permutation: c_val[e] = res_concat[asm_src[e]]; pad targets
     # absorb the leftover res positions so the map is a full permutation
     n_asm = max(res_off, c_cap)
     asm_src = np.empty(n_asm, dtype=np.int32)
-    e_all = np.concatenate(asm_entry) if asm_entry else np.zeros(0, np.int64)
-    p_all = np.concatenate(asm_pos) if asm_pos else np.zeros(0, np.int64)
     used = np.zeros(n_asm, dtype=bool)
     asm_src[e_all] = p_all
     used[p_all] = True
     asm_src[c_nnz:] = np.flatnonzero(~used)[: n_asm - c_nnz]
-    return dict(
-        src=src,
-        levels=tuple(levels),
-        lvl_idx=tuple(lvl_idx),
-        asm_src=asm_src,
-        p_slab=p_slab,
-    )
+    out["asm_src"] = asm_src
+    return out
 
 
-def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
+def spgemm_plan(
+    a: CSR,
+    b: CSR,
+    shuffle: bool | None = None,
+    layout: str | None = None,
+) -> SpgemmPlan:
     """Symbolic phase: build the reusable plan on the host.
 
     Host-side numpy (optionally the C++ planner, see ``nsparse_tpu.native``):
@@ -386,6 +413,10 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
     size C (``kernel_spgemm_hash_d.cu:1183-1184``).  The expansion is
     segmented-sort-by-column *within* rows only — expansion order is already
     row-major, so the key is the product column alone, sorted stably.
+
+    ``layout``: "window" forces the row-localized window arenas
+    (``ops/spgemm_window.py``), "global" forces the round-2 global
+    slack-Clos slab pipeline, None picks windows when applicable.
     """
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
@@ -437,9 +468,25 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
     bv_shuffle = None
     slab = None
     pw_plan = None
+    win = None
     if shuffle is None:
         shuffle = p_total >= (1 << 20)
-    if shuffle and p_total and c_nnz:
+    if shuffle and p_total and c_nnz and layout in (None, "window"):
+        from nsparse_tpu.ops.spgemm_window import build_window_structure
+
+        wres = build_window_structure(
+            rpt_a, col_a, deg_a, rpt_b, deg_b,
+            apos, bpos, out_pos, ends, c_rpt,
+            p_total, c_nnz, c_cap, m, nnz_a,
+            force=(layout == "window"),
+        )
+        if wres is not None:
+            win, pw_plan = wres
+        elif layout == "window":
+            raise ValueError(
+                "layout='window' requested but no row fits a window arena"
+            )
+    if shuffle and p_total and c_nnz and win is None:
         from nsparse_tpu.ops.kernels.piecewise import build_piecewise_plan
         from nsparse_tpu.ops.kernels.shuffle_pallas import (
             build_shuffle_plan,
@@ -492,7 +539,7 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
     # its fill indices advance by one per duplicate group, so the gather is
     # window-class by construction; one device sort by the saved rank
     # restores plan order.
-    if p_total and slab is None:
+    if p_total and slab is None and win is None:
         order_bp = np.argsort(bpos, kind="stable")
         sorted_bpos = bpos[order_bp]
         starts = np.empty(p_total, dtype=bool)
@@ -510,7 +557,7 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
     # build (a ~24-pass python/packbits loop) and device upload are skipped
     # when the slab path owns the numeric phase
     cmp_masks = None
-    if slab is None:
+    if slab is None and win is None:
         if c_nnz:
             ends64 = ends.astype(np.int64)
             dist = ends64 - np.arange(c_nnz, dtype=np.int64)
@@ -538,7 +585,7 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
         ends=jnp.asarray(ends_p),
         av_gp=(
             build_flat_gather_plan(apos_p, window=1024)
-            if slab is None else None
+            if slab is None and win is None else None
         ),
         ends_gp=None,  # superseded by cmp_masks (log-shift compaction)
         cmp_masks=(
@@ -551,11 +598,11 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
                 # -1 sentinels: pad slots come out as ZEROS
                 _pad(fill_idx, p_pad, -1)
             )
-            if slab is None else None
+            if slab is None and win is None else None
         ),
         bp_rank=(
             jnp.asarray(_pad(order_bp.astype(np.int32), p_pad, p_pad - 1))
-            if slab is None else None
+            if slab is None and win is None else None
         ),
         bv_shuffle=bv_shuffle,
         slab_shuffle=slab["shuffle"] if slab else None,
@@ -569,6 +616,7 @@ def spgemm_plan(a: CSR, b: CSR, shuffle: bool | None = None) -> SpgemmPlan:
         shape=(m, n),
         c_nnz=c_nnz,
         n_products=p_total,
+        win=win,
     )
 
 
@@ -677,6 +725,40 @@ def _masked_compaction(v: jax.Array, masks: jax.Array) -> jax.Array:
     return v
 
 
+def slab_class_reduce(lvl_in, slab_levels, lvl_idx):
+    """Reduce bin-padded slab data to per-entry totals (device, in-jit).
+
+    ``lvl_in``: the shuffled slab array; ``slab_levels``: static
+    ((L, cnt), ...) per level; ``lvl_idx``: per level >= 2, gather indices
+    from the previous level's CHUNK-class sums.  Each member-minor
+    (L, cnt) class reduces by contiguous halving adds (elementwise-speed;
+    XLA's reduce op is ~10x slower).  Returns the concatenated per-class
+    result arrays (`res_concat`)."""
+    res_parts = []
+    for li, classes in enumerate(slab_levels):
+        res_chunk = None
+        off = 0
+        for L, cnt in classes:
+            seg = lvl_in[off : off + cnt * L]
+            ll = L
+            while ll > 1:
+                half = (ll // 2) * cnt
+                seg = seg[:half] + seg[half : 2 * half]
+                ll //= 2
+            off += cnt * L
+            res_parts.append(seg)
+            if L == CHUNK:
+                res_chunk = seg
+        if li + 1 < len(slab_levels):
+            idx = lvl_idx[li]
+            lvl_in = jnp.where(
+                idx >= 0, res_chunk[jnp.clip(idx, 0)], 0
+            ).astype(lvl_in.dtype)
+    return (
+        jnp.concatenate(res_parts) if len(res_parts) > 1 else res_parts[0]
+    )
+
+
 def _spgemm_numeric_slab(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     """Slab numeric: form products in A-entry-major order (piecewise-run
     kernel: constant a.val per run times contiguous b.val slices),
@@ -689,34 +771,7 @@ def _spgemm_numeric_slab(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
 
     prod_aem = piecewise_expand(plan.pw, a.val, b.val)
     prod = planned_shuffle(plan.slab_shuffle, prod_aem)
-
-    res_parts = []
-    lvl_in = prod
-    for li, classes in enumerate(plan.slab_levels):
-        res_chunk = None
-        off = 0
-        for ci, (L, cnt) in enumerate(classes):
-            seg = lvl_in[off : off + cnt * L]
-            # member-minor (L, cnt) layout: reduce by contiguous halving
-            # adds (elementwise-speed; XLA's reduce op is ~10x slower)
-            ll = L
-            while ll > 1:
-                half = (ll // 2) * cnt
-                seg = seg[:half] + seg[half : 2 * half]
-                ll //= 2
-            r = seg
-            off += cnt * L
-            res_parts.append(r)
-            if L == CHUNK:
-                res_chunk = r
-        if li + 1 < len(plan.slab_levels):
-            idx = plan.lvl_idx[li]
-            lvl_in = jnp.where(
-                idx >= 0, res_chunk[jnp.clip(idx, 0)], 0
-            ).astype(prod.dtype)
-    res_concat = jnp.concatenate(res_parts) if len(res_parts) > 1 else (
-        res_parts[0]
-    )
+    res_concat = slab_class_reduce(prod, plan.slab_levels, plan.lvl_idx)
     c_val = planned_shuffle(plan.asm_shuffle, res_concat)[
         : plan.c_capacity
     ]
@@ -751,6 +806,10 @@ def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     hot = _fg.FORCE_PALLAS or (
         jax.default_backend() == "tpu" and b.val.dtype == jnp.float32
     )
+    if plan.win is not None and hot:
+        from nsparse_tpu.ops.spgemm_window import spgemm_numeric_window
+
+        return spgemm_numeric_window(plan, a, b)
     if plan.slab_shuffle is not None and hot:
         return _spgemm_numeric_slab(plan, a, b)
     use_sort_path = plan.bv_gp is not None and hot

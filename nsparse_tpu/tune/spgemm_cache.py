@@ -30,18 +30,26 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 1
+PLAN_VERSION = 2  # v2: window-arena structures (win field, runcopy plans)
 
 
 def _registry():
     from nsparse_tpu.ops.kernels.flat_gather import FlatGatherPlan
     from nsparse_tpu.ops.kernels.piecewise import PiecewisePlan
-    from nsparse_tpu.ops.kernels.shuffle_pallas import ShufflePlan
+    from nsparse_tpu.ops.kernels.runcopy import RunCopyPlan
+    from nsparse_tpu.ops.kernels.shuffle_pallas import (
+        ShufflePlan,
+        TileBenesPlan,
+    )
     from nsparse_tpu.ops.spgemm import SpgemmPlan
+    from nsparse_tpu.ops.spgemm_window import WindowStructure
 
     return {
         c.__name__: c
-        for c in (SpgemmPlan, ShufflePlan, PiecewisePlan, FlatGatherPlan)
+        for c in (
+            SpgemmPlan, ShufflePlan, TileBenesPlan, PiecewisePlan,
+            FlatGatherPlan, RunCopyPlan, WindowStructure,
+        )
     }
 
 

@@ -142,7 +142,7 @@ def _check_slab(a: CSR, b: CSR):
     """Force the slab numeric path (pallas interpret on CPU) vs oracle."""
     import nsparse_tpu.ops.kernels.flat_gather as fg
 
-    plan = spgemm_plan(a, b, shuffle=True)
+    plan = spgemm_plan(a, b, shuffle=True, layout="global")
     assert plan.slab_shuffle is not None
     old = fg.FORCE_PALLAS
     fg.FORCE_PALLAS = True

@@ -31,7 +31,7 @@ def test_roundtrip_slab_path(tmp_path):
     # shuffle=True forces the slab path (routed shuffles + piecewise plan)
     # even below the size threshold, exercising every nested plan type
     a = rmat_csr(9, edge_factor=8, dtype=np.float64, seed=3)
-    plan = spgemm_plan(a, a, shuffle=True)
+    plan = spgemm_plan(a, a, shuffle=True, layout="global")
     assert plan.slab_shuffle is not None and plan.pw is not None
     _roundtrip_and_check(a, plan, tmp_path)
 
@@ -65,3 +65,12 @@ def test_version_mismatch_returns_none(tmp_path, monkeypatch):
 
     monkeypatch.setattr(sc, "PLAN_VERSION", 999)
     assert load_spgemm_plan(path) is None
+
+
+def test_roundtrip_window_path(tmp_path):
+    # the window-arena plan nests TileBenesPlan / RunCopyPlan /
+    # WindowStructure — the full round-3 plan type set
+    a = rmat_csr(8, edge_factor=8, dtype=np.float64, seed=6)
+    plan = spgemm_plan(a, a, shuffle=True, layout="window")
+    assert plan.win is not None
+    _roundtrip_and_check(a, plan, tmp_path)

@@ -1,0 +1,144 @@
+"""Row-localized window-arena SpGEMM numeric path
+(ops/spgemm_window.py): per-window Benes + level pyramid + run-copy
+extraction + fallback pool, vs the scipy oracle.
+
+TPU analog of the reference's per-row shared-memory hash tables
+(cuda-cpp/inc/HashSpGEMM.hpp:509-700) with FLOP binning driving execution
+(kernel_spgemm_hash_template.cu:59-235)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nsparse_tpu.ops.kernels.flat_gather as fg
+from nsparse_tpu.formats.csr import CSR
+from nsparse_tpu.io.generate import rmat_csr, stencil_csr
+from nsparse_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
+from nsparse_tpu.utils.checking import (
+    check_spgemm_answer,
+    spgemm_abs_oracle,
+    spgemm_oracle,
+)
+
+
+def _check_window(a, b, **plan_kwargs):
+    plan = spgemm_plan(a, b, shuffle=True, layout="window", **plan_kwargs)
+    assert plan.win is not None
+    assert plan.slab_shuffle is None  # window path owns the numeric phase
+    old = fg.FORCE_PALLAS
+    fg.FORCE_PALLAS = True
+    try:
+        c = spgemm_numeric(plan, a, b)
+    finally:
+        fg.FORCE_PALLAS = old
+    ref = spgemm_oracle(a, b)
+    assert check_spgemm_answer(c, ref, verbose=True)
+    rtol = 1e-10 if a.val.dtype == jnp.float64 else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(c.to_scipy().data), ref.data, rtol=rtol, atol=1e-12
+    )
+    return plan
+
+
+def test_window_path_rmat():
+    """Skewed graph: windows across several width classes + a fallback
+    pool for the heavy rows."""
+    a = rmat_csr(9, edge_factor=8, dtype=np.float64, seed=4)
+    plan = _check_window(a, a)
+    w = plan.win
+    assert len(w.class_geom) >= 2  # multiple width classes in play
+    assert w.fb_shuffle is not None  # deep entries exist on this graph
+
+
+def test_window_path_uniform_no_fallback_rows():
+    """A banded stencil product: every row fits the smallest windows (no
+    fallback ROWS); its 5-product center entries are deep (len 5 -> slab
+    8 >= 2^DEEP_E), so the pool carries only level-3 partials."""
+    a = stencil_csr(28, 28, dtype=np.float64)
+    plan = _check_window(a, a)
+    assert plan.win.fb_len == 0  # no row fell back
+    assert plan.win.n_compact > 0
+
+
+def test_window_path_tridiagonal_no_pool():
+    """Tridiagonal squared: every entry has <= 3 products — no deep
+    entries, no fallback rows, no pool at all."""
+    import scipy.sparse as sp
+
+    m = 512
+    s = sp.diags(
+        [np.ones(m - 1), 2 * np.ones(m), np.ones(m - 1)], [-1, 0, 1],
+        format="csr",
+    )
+    a = CSR.from_scipy(s.astype(np.float64))
+    plan = _check_window(a, a)
+    assert plan.win.fb_shuffle is None
+    assert plan.win.fb_len == 0
+
+
+def test_window_path_fallback_heavy(monkeypatch):
+    """Rows heavier than the largest window route through the global-Clos
+    fallback pool (window ladder capped small to trigger it)."""
+    import nsparse_tpu.ops.spgemm_window as wmod
+
+    monkeypatch.setattr(wmod, "N_WIN_CLASSES", 2)  # max window = 1024
+    rng = np.random.default_rng(11)
+    m = 256
+    rows, cols, vals = [], [], []
+    for r in range(m):  # sparse background
+        cc = rng.choice(m, size=4, replace=False)
+        rows += [r] * 4
+        cols += list(cc)
+        vals += list(rng.standard_normal(4))
+    for r in (3, 100):  # heavy rows: m columns each -> huge arena demand
+        rows += [r] * m
+        cols += list(range(m))
+        vals += list(rng.standard_normal(m))
+    import scipy.sparse as sp
+
+    s = sp.csr_matrix(
+        (np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+        shape=(m, m),
+    )
+    s.sum_duplicates()
+    a = CSR.from_scipy(s.astype(np.float64))
+    plan = _check_window(a, a)
+    assert plan.win.fb_len > 0  # heavy rows actually fell back
+
+
+def test_window_value_rerun():
+    """SpGEMM_Hash_Numeric contract: same plan, new values."""
+    a = rmat_csr(8, edge_factor=8, dtype=np.float64, seed=2)
+    plan = _check_window(a, a)
+    rng = np.random.default_rng(5)
+    v2 = jnp.asarray(
+        rng.standard_normal(int(a.val.shape[0])), a.val.dtype
+    )
+    a2 = CSR(rpt=a.rpt, col=a.col, val=v2, shape=a.shape, nnz=a.nnz)
+    old = fg.FORCE_PALLAS
+    fg.FORCE_PALLAS = True
+    try:
+        c2 = spgemm_numeric(plan, a2, a2)
+    finally:
+        fg.FORCE_PALLAS = old
+    assert check_spgemm_answer(c2, spgemm_oracle(a2, a2), verbose=True)
+
+
+def test_window_plan_f32_jit():
+    """f32 + jit end to end (the chip configuration)."""
+    a = rmat_csr(8, edge_factor=6, dtype=np.float32, seed=9)
+    plan = spgemm_plan(a, a, shuffle=True, layout="window")
+    old = fg.FORCE_PALLAS
+    fg.FORCE_PALLAS = True
+    try:
+        c = jax.jit(spgemm_numeric)(plan, a, a)
+    finally:
+        fg.FORCE_PALLAS = old
+    # f32 reassociation on cancelling sums needs the |A||B| backward-error
+    # scale (what the reference's sfDEBUG check tolerates too)
+    assert check_spgemm_answer(
+        c, spgemm_oracle(a, a), verbose=True,
+        abs_ref=spgemm_abs_oracle(a, a),
+    )
