@@ -37,15 +37,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nsparse_tpu.ops.kernels.gather_pallas import _flat_align
+
 LANES = 128
 TILE_ROWS = 8
 TILE = TILE_ROWS * LANES          # 1024-element subtiles
-BLK_ROWS = 16                     # (16, 128) source blocks, 1024-granular ids
-SRC_BIAS = TILE                   # zero rows prepended (negative aligned base)
-# (pieces per subtile, subtiles per grid step): 16 dynamic source blocks per
-# step in both classes; the dense class trades grid amortization for budget
-CLASSES = ((2, 8), (8, 2))
-J_MAX = CLASSES[-1][0]
+SRC_BIAS = 8 * TILE               # zero prefix (negative piece bases)
+# classes: (K, J, SUB) — K = sub-runs summed per output element (the
+# member-minor slab fold of the window arenas: out[p] = sum_t src[S +
+# t*stride + p]); J = pieces per subtile; SUB = subtiles per grid step.
+# K = 1 keeps the phase-matched fast path (pure sublane slices).
+# (K, J, SUB, span_rows): span_rows > 0 = SPAN class — the whole grid
+# step reads ONE pair of big consecutive (span_rows, 128) blocks and every
+# piece slices it at a sublane offset (phase-matched K=1 only).  The
+# per-piece block-pair classes (span_rows == 0) issue 2 small scattered
+# DMAs per piece slot — measured ~17x read amplification at ~1.5 us/step —
+# and remain only for steps whose source span exceeds the big buckets.
+CLASS_LIST = (
+    (1, 8, 8, 80),
+    (1, 8, 8, 384),
+    (1, 2, 8, 0), (1, 8, 2, 0),
+    (2, 4, 2, 0),
+    (4, 4, 2, 0),
+    (8, 4, 1, 0),
+)
+J_MAX = {1: 8, 2: 4, 4: 4, 8: 4}
+K_FACTORS = (1, 2, 4, 8)
+SPAN_LCM = 1920                   # lcm of the span_rows buckets (and 16)
 
 
 def _interpret() -> bool:
@@ -53,100 +71,147 @@ def _interpret() -> bool:
 
 
 def _round_up(x: int, m: int) -> int:
-    return -(-max(x, 0) // m) * m
+    return -(-max(int(x), 0) // m) * m
+
+
+def _pad_len(n_src: int) -> int:
+    """Padded source length (elements) shared by builder and kernel: the
+    row count is a multiple of every span bucket (so (span,128) BlockSpecs
+    tile exactly) plus one full SPAN_LCM chunk of tail slack (so B+1 span
+    blocks stay in bounds for any eligible supertile)."""
+    base = _round_up(SRC_BIAS + n_src, TILE) + 3 * TILE
+    return _round_up(base, SPAN_LCM * LANES) + SPAN_LCM * LANES
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RunCopyPlan:
-    """Routing for the planned run gather.
+    """Routing for the planned (optionally K-fold reducing) run gather.
+
+    Per class in CLASS_LIST order:
 
     Attributes:
-      ids: per class, supertile indices (units of SUB subtiles).
-      blk: per class, (n_steps, SUB*J) int32 source-block ids (units of
-        TILE elements; inert pieces point at block 0).
-      srow: per class, (n_steps * SUB, J) int32 sublane row offset of the
-        aligned piece base within its (16, 128) block (0..8).
-      cut / end: per class, (n_steps * SUB, J) int32 piece bounds within
-        the subtile (TILE/TILE = inert; [end_j, cut_{j+1}) is zeroed).
+      ids: grid-step output tile indices (units of SUB subtiles).
+      blk: (n_steps, SUB*J*K) int32 sub-run source-block ids (units of
+        TILE elements; inert sub-runs point at block 0).
+      off: (n_steps, SUB*J*K) int32 in-block element offsets (0..TILE);
+        for K == 1 classes the second half of each (blk, off) pair is the
+        sublane row (phase-matched path).
+      cut / end: (n_steps, SUB*J) int32 piece bounds within the subtile,
+        OUTPUT coordinates (TILE/TILE = inert; [end_j, cut_{j+1}) zeroed).
       n_src: source length the plan was built for (pre-BIAS).
       n_out: output length (multiple of TILE).
     """
 
     ids: Tuple
     blk: Tuple
-    srow: Tuple
+    off: Tuple
     cut: Tuple
     end: Tuple
     n_src: int = dataclasses.field(metadata=dict(static=True))
     n_out: int = dataclasses.field(metadata=dict(static=True))
 
 
-def build_runcopy_plan(
-    src_off: np.ndarray, lens: np.ndarray, n_src: int
-) -> Tuple[RunCopyPlan, np.ndarray]:
-    """Assign phase-matched destinations to runs and route the pieces.
+def _empty_plan(n_src: int):
+    return (
+        RunCopyPlan(
+            ids=tuple(jnp.zeros((0,), jnp.int32) for _ in CLASS_LIST),
+            blk=tuple(
+                jnp.zeros((0, 1 if R else K * J * S), jnp.int32)
+                for K, J, S, R in CLASS_LIST
+            ),
+            off=tuple(
+                jnp.zeros((0, J * S), jnp.int32)
+                if R else jnp.zeros((0, K * J * S), jnp.int32)
+                for K, J, S, R in CLASS_LIST
+            ),
+            cut=tuple(
+                jnp.zeros((0, J * S), jnp.int32)
+                for K, J, S, R in CLASS_LIST
+            ),
+            end=tuple(
+                jnp.zeros((0, J * S), jnp.int32)
+                for K, J, S, R in CLASS_LIST
+            ),
+            n_src=n_src, n_out=0,
+        ),
+        np.zeros(0, np.int64),
+    )
 
-    ``src_off``/``lens``: per-run source starts and lengths (elements;
-    starts and lengths need not be aligned — slack slots come out zero).
-    Returns (plan, dst_off): the builder CHOOSES each run's destination
-    offset (ascending, ``dst ≡ src (mod 128)``, at most J_MAX pieces per
-    subtile); callers map downstream consumers with ``dst_off``.
+
+def build_runcopy_plan(
+    src_off: np.ndarray,
+    lens: np.ndarray,
+    n_src: int,
+    kfac: np.ndarray | None = None,
+    stride: np.ndarray | None = None,
+) -> Tuple[RunCopyPlan, np.ndarray]:
+    """Assign destinations to runs and route the pieces.
+
+    ``src_off``: per-run source starts; ``lens``: per-run OUTPUT lengths;
+    ``kfac``: per-run fold factor in {1, 2, 4, 8} (default 1); ``stride``:
+    per-run sub-run stride (run r emits ``out[p] = sum_{t<K} src[S +
+    t*stride + p]``).  Runs must be grouped by kfac (group transitions
+    start a fresh supertile).  Returns (plan, dst_off); destinations are
+    builder-chosen ascending, phase-matched for K == 1.
     """
     src_off = np.asarray(src_off, dtype=np.int64).reshape(-1)
     lens = np.asarray(lens, dtype=np.int64).reshape(-1)
     n_runs = src_off.size
+    kfac = (
+        np.ones(n_runs, dtype=np.int64) if kfac is None
+        else np.asarray(kfac, dtype=np.int64).reshape(-1)
+    )
+    stride = (
+        np.zeros(n_runs, dtype=np.int64) if stride is None
+        else np.asarray(stride, dtype=np.int64).reshape(-1)
+    )
     if n_runs == 0:
-        empty = tuple(() for _ in CLASSES)
-        return (
-            RunCopyPlan(
-                ids=tuple(jnp.zeros((0,), jnp.int32) for _ in CLASSES),
-                blk=tuple(jnp.zeros((0, j * s), jnp.int32)
-                          for j, s in CLASSES),
-                srow=tuple(jnp.zeros((0, j), jnp.int32) for j, s in CLASSES),
-                cut=tuple(jnp.zeros((0, j), jnp.int32) for j, s in CLASSES),
-                end=tuple(jnp.zeros((0, j), jnp.int32) for j, s in CLASSES),
-                n_src=n_src, n_out=0,
-            ),
-            np.zeros(0, np.int64),
-        )
+        return _empty_plan(n_src)
 
-    # --- destination assignment: ascending cursor, phase-matched, piece-
-    # count capped per subtile (a run spanning a subtile boundary counts
-    # once in each) ------------------------------------------------------
+    # --- destination assignment ---------------------------------------
     dst = np.empty(n_runs, dtype=np.int64)
     cursor = 0
-    tile_cnt = 0  # pieces already in the cursor's subtile
+    tile_cnt = 0
     tile_id = 0
+    prev_k = int(kfac[0])
     for r in range(n_runs):
-        d = cursor + (src_off[r] - cursor) % LANES
+        K = int(kfac[r])
+        if K != prev_k:  # fresh supertile: uniform K per grid step
+            cursor = _round_up(cursor, 8 * TILE)
+            tile_id = cursor // TILE
+            tile_cnt = 0
+            prev_k = K
+        d = (
+            cursor + (src_off[r] - cursor) % LANES if K == 1 else cursor
+        )
         t = d // TILE
         cnt = tile_cnt if t == tile_id else 0
-        if cnt >= J_MAX:  # subtile full: skip to the next, re-phase
-            d = (t + 1) * TILE + src_off[r] % LANES
+        if cnt >= J_MAX[K]:  # subtile full: skip to the next
+            d = (t + 1) * TILE + (src_off[r] % LANES if K == 1 else 0)
             t = d // TILE
             cnt = 0
         dst[r] = d
         cursor = d + lens[r]
         tile_id = cursor // TILE
-        # pieces in the final subtile: this run's continuation (1) counts
         tile_cnt = (cnt + 1) if tile_id == t else 1
     n_out = _round_up(cursor, TILE)
 
-    # --- piece table: per subtile, the covering runs -------------------
+    # --- piece table ----------------------------------------------------
     n_sub = n_out // TILE
     sub_base = np.arange(n_sub, dtype=np.int64) * TILE
-    # first run whose dst span may reach this subtile
     first = np.searchsorted(dst, sub_base, side="right") - 1
-    # drop the continuation when it ends at/before the subtile base
     ends_abs = dst + lens
     has_cont = (first >= 0) & (ends_abs[np.maximum(first, 0)] > sub_base)
     first = np.where(has_cont, first, first + 1)
     nxt = np.searchsorted(dst, sub_base + TILE, side="left")
     count = nxt - first
-    jmax_by_sub = count  # <= J_MAX by construction
+    jmax_by_sub = count
+    k_by_sub = np.ones(n_sub, dtype=np.int64)
+    live = count > 0
+    k_by_sub[live] = kfac[np.minimum(first[live], n_runs - 1)]
 
-    def pieces_for(subs: np.ndarray, J: int):
+    def pieces_for(subs: np.ndarray, K: int, J: int):
         k = np.arange(J, dtype=np.int64)
         r = first[subs][:, None] + k[None, :]
         valid = (k[None, :] < count[subs][:, None]) & (r < n_runs)
@@ -154,72 +219,144 @@ def build_runcopy_plan(
         base = sub_base[subs][:, None]
         cut = np.where(valid, np.maximum(dst[rc] - base, 0), TILE)
         end = np.where(valid, np.minimum(ends_abs[rc] - base, TILE), TILE)
-        aligned = SRC_BIAS + src_off[rc] + base - dst[rc]  # multiple of 128
-        blk = np.where(valid, aligned // TILE, 0)
-        srow = np.where(valid, (aligned % TILE) // LANES, 0)
+        if K == 1:
+            # phase-matched: aligned base, (block, sublane-row) pair
+            aligned = SRC_BIAS + src_off[rc] + base - dst[rc]
+            blk = np.where(valid, aligned // TILE, 0)
+            off = np.where(valid, (aligned % TILE) // LANES, 0)
+            blk = blk[:, :, None]
+            off = off[:, :, None]
+        else:
+            t = np.arange(K, dtype=np.int64)[None, None, :]
+            a = (
+                SRC_BIAS + src_off[rc][:, :, None] + t * stride[rc][:, :, None]
+                + (base - dst[rc])[:, :, None]
+            )
+            blk = np.where(valid[:, :, None], a // TILE, 0)
+            off = np.where(valid[:, :, None], a % TILE, 0)
         return (
             cut.astype(np.int32), end.astype(np.int32),
-            blk.astype(np.int32), srow.astype(np.int32),
+            blk.astype(np.int32), off.astype(np.int32),
         )
 
-    ids_l, blk_l, srow_l, cut_l, end_l = [], [], [], [], []
-    n_super = (n_sub + 7) // 8  # supertiles of 8 subtiles
+    ids_l, blk_l, off_l, cut_l, end_l = [], [], [], [], []
+    n_super = (n_sub + 7) // 8
     padded_sub = _round_up(n_sub, 8)
     cnt_pad = np.zeros(padded_sub, dtype=np.int64)
     cnt_pad[:n_sub] = jmax_by_sub
     jmax_super = cnt_pad.reshape(-1, 8).max(axis=1)
+    k_pad = np.ones(padded_sub, dtype=np.int64)
+    k_pad[:n_sub] = k_by_sub
+    k_super = k_pad.reshape(-1, 8).max(axis=1)
+
+    # per-supertile source-row span (K = 1 phase-matched pieces only):
+    # a span class of R rows fits iff all piece reads land inside the
+    # block pair [B*R, (B+2)*R) anchored at B = min_row // R
+    pad_rows = _pad_len(n_src) // LANES
+    INT_MAX = np.iinfo(np.int64).max
+    k8 = np.arange(8, dtype=np.int64)
+    r8 = first[:, None] + k8[None, :]
+    v8 = (k8[None, :] < count[:, None]) & (r8 < n_runs) & (r8 >= 0)
+    rc8 = np.clip(r8, 0, n_runs - 1)
+    row8 = (SRC_BIAS + src_off[rc8] + sub_base[:, None] - dst[rc8]) // LANES
+    row_lo = np.where(v8, row8, INT_MAX).min(axis=1)
+    row_hi = np.where(v8, row8, -1).max(axis=1)
+    lo_pad = np.full(padded_sub, INT_MAX, np.int64)
+    lo_pad[:n_sub] = row_lo
+    hi_pad = np.full(padded_sub, -1, np.int64)
+    hi_pad[:n_sub] = row_hi
+    lo_super = lo_pad.reshape(-1, 8).min(axis=1)
+    hi_super = hi_pad.reshape(-1, 8).max(axis=1)
+
     assigned = np.zeros(n_super, dtype=bool)
-    for J, SUBC in CLASSES:
-        ok = (~assigned) & (jmax_super <= J)
+    for ci, (K, J, SUBC, R) in enumerate(CLASS_LIST):
+        if R:
+            fin = lo_super < INT_MAX
+            anchor = np.where(fin, lo_super // R, 0)
+            fit = (
+                fin
+                & (hi_super + TILE_ROWS <= (anchor + 2) * R)
+                & ((anchor + 2) * R <= pad_rows)
+            )
+            ok = (~assigned) & (k_super == 1) & (jmax_super <= J) & fit
+            if ci == 0:
+                ok |= (~assigned) & (jmax_super == 0)  # empty supertiles
+        else:
+            ok = (~assigned) & (jmax_super <= J) & (k_super == K)
+            anchor = None
         assigned |= ok
         sids = np.nonzero(ok)[0].astype(np.int64)
-        # group supertiles into grid steps of SUBC subtiles each: a class
-        # step covers SUBC consecutive subtiles of ONE supertile, so split
-        # each 8-subtile supertile into 8 // SUBC steps
         per = 8 // SUBC
         steps = (
             sids[:, None] * per + np.arange(per)[None, :]
         ).reshape(-1)
-        # fully-dead steps (all their subtiles beyond n_sub) must not run:
-        # their zero writes would land on an out-of-range output block
-        # (clamped onto real data in interpret mode, a runtime crash on TPU)
+        # fully-dead steps must not run: their zero writes would land on
+        # an out-of-range output block (a runtime crash on TPU)
         steps = steps[steps * SUBC < n_sub]
         subs = (
             steps[:, None] * SUBC + np.arange(SUBC)[None, :]
         ).reshape(-1)
-        live = subs < n_sub
+        live_s = subs < n_sub
         subs = np.minimum(subs, padded_sub - 1)
-        cut, end, blk, srow = pieces_for(np.minimum(subs, n_sub - 1), J)
-        cut[~live] = TILE
-        end[~live] = TILE
-        blk[~live] = 0
+        cut, end, blk, off = pieces_for(
+            np.minimum(subs, n_sub - 1), 1 if R else K, J
+        )
+        cut[~live_s] = TILE
+        end[~live_s] = TILE
+        blk[~live_s] = 0
+        off[~live_s] = 0
+        n_steps = steps.size
         ids_l.append(jnp.asarray(steps.astype(np.int32)))
-        blk_l.append(jnp.asarray(
-            blk.reshape(-1, SUBC * J).astype(np.int32)
-        ))
-        srow_l.append(jnp.asarray(srow))
-        cut_l.append(jnp.asarray(cut))
-        end_l.append(jnp.asarray(end))
+        if R:
+            # span class: per-step anchor block B, per-piece sublane row
+            # rel within the (2R, 128) pair window
+            bv = (
+                anchor[steps // per] if steps.size
+                else np.zeros(0, np.int64)
+            )
+            abs_row = blk[:, :, 0] * TILE_ROWS + off[:, :, 0]
+            rel = np.where(
+                cut < TILE, abs_row - np.repeat(bv, SUBC)[:, None] * R, 0
+            )
+            blk_l.append(jnp.asarray(
+                bv.reshape(n_steps, 1).astype(np.int32)
+            ))
+            off_l.append(jnp.asarray(
+                rel.reshape(n_steps, SUBC * J).astype(np.int32)
+            ))
+        else:
+            blk_l.append(jnp.asarray(
+                blk.reshape(n_steps, SUBC * J * (K if K > 1 else 1))
+                if K > 1 else blk.reshape(n_steps, SUBC * J)
+            ))
+            off_l.append(jnp.asarray(
+                off.reshape(n_steps, SUBC * J * (K if K > 1 else 1))
+                if K > 1 else off.reshape(n_steps, SUBC * J)
+            ))
+        cut_l.append(jnp.asarray(cut.reshape(n_steps, SUBC * J)))
+        end_l.append(jnp.asarray(end.reshape(n_steps, SUBC * J)))
+
+    if not np.all(assigned[: (n_sub + 7) // 8]):
+        raise AssertionError("unassigned supertile (mixed K?)")
 
     plan = RunCopyPlan(
-        ids=tuple(ids_l), blk=tuple(blk_l), srow=tuple(srow_l),
+        ids=tuple(ids_l), blk=tuple(blk_l), off=tuple(off_l),
         cut=tuple(cut_l), end=tuple(end_l), n_src=n_src, n_out=int(n_out),
     )
     return plan, dst
 
 
-def _make_rc_kern(j_budget: int, sub: int):
-    # piece scalars ride a blocked SMEM operand (8-row blocks at i // 8 —
-    # the prefetch operand is SMEM-size-capped at ~1 MB and only the block
-    # ids must be prefetched for the index maps); columns: [n_j srow |
-    # n_j cut | n_j end]
+def _make_rc_kern(K: int, j_budget: int, sub: int):
+    """Kernel: K == 1 — phase-matched sublane slices from (8,128) block
+    pairs; K > 1 — per sub-run flat-aligned (8,128) reads summed."""
     n_j = sub * j_budget
+    n_b = n_j * K  # sub-run slots (each a block PAIR)
 
     def kern(bp_ref, desc_ref, *refs):
         del bp_ref
-        blocks = refs[:-2]  # 2 * n_j paired (8, 128) source blocks
+        blocks = refs[:-2]  # 2 * n_b paired (8, 128) source blocks
         out_ref = refs[-1]
-        r = pl.program_id(0) % 8
+        r_id = pl.program_id(0) % 8
         pos = (
             jax.lax.broadcasted_iota(
                 jnp.int32, (TILE_ROWS, LANES), 0
@@ -230,91 +367,229 @@ def _make_rc_kern(j_budget: int, sub: int):
             acc = jnp.zeros((TILE_ROWS, LANES), out_ref.dtype)
             for j in range(j_budget):
                 jj = k * j_budget + j
-                cat = jnp.concatenate(
-                    [blocks[2 * jj][:], blocks[2 * jj + 1][:]], axis=0
+                if K == 1:
+                    cat = jnp.concatenate(
+                        [blocks[2 * jj][:], blocks[2 * jj + 1][:]], axis=0
+                    )
+                    srow = desc_ref[r_id, jj]
+                    seg = pltpu.roll(
+                        cat, (2 * TILE_ROWS - srow) % (2 * TILE_ROWS), 0
+                    )[:TILE_ROWS]
+                else:
+                    seg = jnp.zeros((TILE_ROWS, LANES), out_ref.dtype)
+                    for t in range(K):
+                        bi = jj * K + t
+                        cat = jnp.concatenate(
+                            [blocks[2 * bi][:], blocks[2 * bi + 1][:]],
+                            axis=0,
+                        )
+                        seg = seg + _flat_align(
+                            cat, desc_ref[r_id, bi]
+                        )[:TILE_ROWS]
+                acc = jnp.where(
+                    pos >= desc_ref[r_id, n_b + jj], seg, acc
                 )
-                srow = desc_ref[r, jj]
-                # rows [srow, srow + 8) of the 16-row pair, srow in [0, 8)
-                seg = pltpu.roll(
-                    cat, (2 * TILE_ROWS - srow) % (2 * TILE_ROWS), 0
-                )[:TILE_ROWS]
-                acc = jnp.where(pos >= desc_ref[r, n_j + jj], seg, acc)
-                acc = jnp.where(pos >= desc_ref[r, 2 * n_j + jj], 0.0,
-                                acc)
+                acc = jnp.where(
+                    pos >= desc_ref[r_id, n_b + n_j + jj], 0.0, acc
+                )
             out_ref[pl.ds(k * TILE_ROWS, TILE_ROWS), :] = acc
 
     return kern
 
 
-def _rc_class_call(J, SUBC, ids, blk, srow, cut, end, src2, out):
-    n_steps = int(ids.shape[0])
+def _make_span_kern(R: int, j_budget: int, sub: int):
+    """Span kernel: the grid step's two consecutive (R, 128) source
+    blocks are staged into one (2R, 128) VMEM scratch; each piece is a
+    dynamic sublane slice of the scratch (phase-matching keeps lane
+    offsets zero), so the whole step costs ONE sequential DMA pair
+    instead of 2 scattered 4 KB DMAs per piece."""
+    n_j = sub * j_budget
+
+    def kern(bp_ref, desc_ref, b0_ref, b1_ref, out_ref, scr_ref):
+        del bp_ref
+        r_id = pl.program_id(0) % 8
+        scr_ref[0:R, :] = b0_ref[:]
+        scr_ref[R : 2 * R, :] = b1_ref[:]
+        pos = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_ROWS, LANES), 0
+            ) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        )
+        for k in range(sub):
+            acc = jnp.zeros((TILE_ROWS, LANES), out_ref.dtype)
+            for j in range(j_budget):
+                jj = k * j_budget + j
+                seg = scr_ref[pl.ds(desc_ref[r_id, jj], TILE_ROWS), :]
+                acc = jnp.where(
+                    pos >= desc_ref[r_id, n_j + jj], seg, acc
+                )
+                acc = jnp.where(
+                    pos >= desc_ref[r_id, 2 * n_j + jj], 0.0, acc
+                )
+            out_ref[pl.ds(k * TILE_ROWS, TILE_ROWS), :] = acc
+
+    return kern
+
+
+def _rc_span_call(R, J, SUBC, ids, blk, off, cut, end, src2, out, alias):
     sub = 1 if _interpret() else SUBC
     if sub == 1 and SUBC > 1:
         ids = (
             ids[:, None] * SUBC + jnp.arange(SUBC, dtype=ids.dtype)[None, :]
         ).reshape(-1)
-        blk = blk.reshape(-1, J)
+        blk = jnp.repeat(blk, SUBC, axis=0)
+        off = off.reshape(-1, J)
+        cut = cut.reshape(-1, J)
+        end = end.reshape(-1, J)
     block_rows = sub * TILE_ROWS
-    # prefetch: [out tile id | n_j block ids]; piece scalars in a blocked
-    # SMEM operand (the prefetch operand is SMEM-size-capped)
     n_j = sub * J
     n_steps = int(ids.shape[0])
-    # FLAT prefetch: a 2-D (n, k) prefetch operand is lane-padded to
-    # (n, 128) in SMEM (measured: it blew the 1 MB SMEM cap); 1-D stays
-    # contiguous.  Layout: step-major [out tile id, n_j block ids].
     blkp = jnp.concatenate(
-        [ids.reshape(-1, 1), blk.reshape(n_steps, n_j)], axis=1
+        [ids.reshape(-1, 1), blk.reshape(-1, 1)], axis=1
     ).reshape(-1)
-    stride = 1 + n_j
+    stride = 2
     desc = jnp.concatenate(
         [
-            srow.reshape(n_steps, n_j),
+            off.reshape(n_steps, n_j),
             cut.reshape(n_steps, n_j),
             end.reshape(n_steps, n_j),
         ],
         axis=1,
     )
+    dcols = 3 * n_j
+    pad_steps = _round_up(n_steps, 8) - n_steps
+    if pad_steps:
+        # padded desc rows are loaded into SMEM but never indexed (r_id
+        # only reaches real program ids); values are immaterial
+        desc = jnp.concatenate(
+            [desc, jnp.zeros((pad_steps, dcols), desc.dtype)]
+        )
+
+    in_specs = [
+        pl.BlockSpec((8, dcols), lambda i, bp: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((R, LANES), lambda i, bp: (bp[i * stride + 1], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, LANES), lambda i, bp: (bp[i * stride + 1] + 1, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [blkp, desc, src2, src2]
+    aliases = {}
+    kern = _make_span_kern(R, J, sub)
+    if alias:
+        in_specs.append(pl.BlockSpec(
+            (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(out)
+        aliases = {len(operands) - 1: 0}
+
+        def body(bp_ref, desc_ref, b0, b1, al, out_ref, scr):
+            del al
+            return kern(bp_ref, desc_ref, b0, b1, out_ref, scr)
+    else:
+        body = kern
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * R, LANES), src2.dtype)],
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(*operands)
+
+
+def _rc_class_call(K, J, SUBC, ids, blk, off, cut, end, src2, out, alias):
+    sub = 1 if _interpret() else SUBC
+    kw = K if K > 1 else 1
+    if sub == 1 and SUBC > 1:
+        ids = (
+            ids[:, None] * SUBC + jnp.arange(SUBC, dtype=ids.dtype)[None, :]
+        ).reshape(-1)
+        blk = blk.reshape(-1, J * kw)
+        off = off.reshape(-1, J * kw)
+        cut = cut.reshape(-1, J)
+        end = end.reshape(-1, J)
+    block_rows = sub * TILE_ROWS
+    n_j = sub * J
+    n_b = n_j * kw
+    n_steps = int(ids.shape[0])
+    blkp = jnp.concatenate(
+        [ids.reshape(-1, 1), blk.reshape(n_steps, n_b)], axis=1
+    ).reshape(-1)
+    stride = 1 + n_b
+    desc = jnp.concatenate(
+        [
+            off.reshape(n_steps, n_b),
+            cut.reshape(n_steps, n_j),
+            end.reshape(n_steps, n_j),
+        ],
+        axis=1,
+    )
+    dcols = n_b + 2 * n_j
     pad_steps = _round_up(n_steps, 8) - n_steps
     if pad_steps:
         desc = jnp.concatenate(
-            [desc, jnp.full((pad_steps, 3 * n_j), TILE, desc.dtype)]
+            [desc, jnp.full((pad_steps, dcols), TILE, desc.dtype)]
         )
 
-    def mk_src_spec(jj, second):
+    def mk_src_spec(bi, second):
         return pl.BlockSpec(
             (TILE_ROWS, LANES),
-            lambda i, bp, jj=jj, s=int(second): (
-                bp[i * stride + 1 + jj] + s, 0
+            lambda i, bp, bi=bi, s=int(second): (
+                bp[i * stride + 1 + bi] + s, 0
             ),
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [pl.BlockSpec((8, dcols), lambda i, bp: (i // 8, 0),
+                             memory_space=pltpu.SMEM)]
+    operands = [blkp, desc]
+    in_specs += [mk_src_spec(bi // 2, bi % 2) for bi in range(2 * n_b)]
+    operands += [src2] * (2 * n_b)
+    aliases = {}
+    if alias:
+        in_specs = in_specs + [pl.BlockSpec(
+            (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
+            memory_space=pltpu.VMEM,
+        )]
+        operands.append(out)
+        aliases = {len(operands) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=(
-            [pl.BlockSpec((8, 3 * n_j), lambda i, bp: (i // 8, 0),
-                          memory_space=pltpu.SMEM)]
-            + [mk_src_spec(jj // 2, jj % 2) for jj in range(2 * n_j)]
-            + [pl.BlockSpec(
-                (block_rows, LANES),
-                lambda i, bp: (bp[i * stride], 0),
-                memory_space=pltpu.VMEM,
-            )]
-        ),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
             memory_space=pltpu.VMEM,
         ),
     )
-    kern = _make_rc_kern(J, sub)
+    kern = _make_rc_kern(K, J, sub)
     return pl.pallas_call(
-        kern,
+        kern if alias else _wrap_no_alias(kern),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
-        input_output_aliases={2 + 2 * n_j: 0},
+        input_output_aliases=aliases,
         interpret=_interpret(),
-    )(blkp, desc, *([src2] * (2 * n_j)), out)
+    )(*operands)
+
+
+def _wrap_no_alias(kern):
+    def k2(bp_ref, desc_ref, *refs):
+        # kern expects (..., aliased_in, out); inject a placeholder
+        return kern(bp_ref, desc_ref, *refs[:-1], None, refs[-1])
+
+    return k2
 
 
 def runcopy(plan: RunCopyPlan, src: jax.Array) -> jax.Array:
@@ -325,20 +600,26 @@ def runcopy(plan: RunCopyPlan, src: jax.Array) -> jax.Array:
     """
     if plan.n_out == 0:
         return jnp.zeros((0,), src.dtype)
-    pad_len = _round_up(SRC_BIAS + plan.n_src, TILE) + 3 * TILE
+    pad_len = _pad_len(plan.n_src)
     src_p = jnp.zeros(pad_len, src.dtype)
     src_p = jax.lax.dynamic_update_slice(
         src_p, src[: plan.n_src], (SRC_BIAS,)
     )
     src2 = src_p.reshape(-1, LANES)
-    # partially-live steps write zero subtiles into the supertile round-up
-    # region; allocate it and slice back at the end
     n_alloc = _round_up(plan.n_out, 8 * TILE)
     out = jnp.zeros((n_alloc // LANES, LANES), src.dtype)
-    for (J, SUBC), ids, blk, srow, cut, end in zip(
-        CLASSES, plan.ids, plan.blk, plan.srow, plan.cut, plan.end
+    first = True
+    for (K, J, SUBC, R), ids, blk, off, cut, end in zip(
+        CLASS_LIST, plan.ids, plan.blk, plan.off, plan.cut, plan.end
     ):
         if not int(ids.shape[0]):
             continue
-        out = _rc_class_call(J, SUBC, ids, blk, srow, cut, end, src2, out)
+        call = functools.partial(_rc_span_call, R) if R else (
+            functools.partial(_rc_class_call, K)
+        )
+        out = call(
+            J, SUBC, ids, blk, off, cut, end, src2, out,
+            alias=not first,
+        )
+        first = False
     return out.reshape(-1)[: plan.n_out]

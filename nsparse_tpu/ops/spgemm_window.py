@@ -15,18 +15,18 @@ transposes.  This is the TPU analog of the reference keeping each row's
 hash table in one thread block's shared memory (``HashSpGEMM.hpp:509-700``)
 — row locality is what made the GPU version fast.
 
-Within a window, entry slabs (products of one C entry, padded to a power
-of two) are laid out in DECREASING size order, which makes every slab base
-aligned to its own size (the buddy property).  Unconditional pairwise
-halving then computes a level pyramid (L1 = pairs of L0, ...) in ~2 passes
-over the data; the total of a size-2^k slab sits at level k, position
-base/2^k — garbage elsewhere is never read.  Totals of small slabs
-(k <= 2) are contiguous per (window, level) and extracted by the
-phase-matched run-copy kernel; larger slabs' level-3 partials (a few % of
-products) join the fallback pool — rows too heavy for the largest window
-— in the round-2 global-Clos slab machinery, now a small side channel.
-One final global Clos assembles C values from the compact extraction
-buffer plus the fallback results.
+Within a window, entries are classed by product count into K in
+{1, 2, 4, 8} (the reference's FLOP classes at output-entry granularity)
+and each class region is laid out MEMBER-MINOR: element t of entry s at
+``base + t*stride + s`` (stride = the class member count).  An entry's
+total is then the sum of K lane-ALIGNED contiguous reads — the run-copy
+kernel folds them with a handful of flat-aligned adds per piece, no lane
+compaction, no strided lowering, no level pyramid.  Entries with more
+than 8 products reduce the same way to ceil(len/8) level-3 partials that
+join the fallback pool — rows too heavy for the largest window — in the
+round-2 global-Clos slab machinery, now a small side channel.  One final
+global Clos assembles C values from the compact extraction buffer plus
+the fallback results.
 """
 
 from __future__ import annotations
@@ -43,19 +43,25 @@ from nsparse_tpu.formats.csr import CSR
 LANES = 128
 WIN_MIN = 512
 N_WIN_CLASSES = 7     # widths WIN_MIN << j, j = 0..6 (max 32768)
-GAP_CHUNK = 512       # zero-run chunking bounds in-kernel table reads
-DEEP_E = 3            # slabs >= 2^DEEP_E reduce to level-3 partials
+GAP_CHUNK = 1024      # zero-run chunking bounds in-kernel table reads
+# entry classes by product count: K-fold extraction classes + deep
+CLS_K = (1, 2, 4)               # len 1 / 2 / 3..4
+DEEP = 3                        # class code for len >= 5 (partials -> pool)
+FF_WINDOW = 64                  # bounded first-fit lookback (packing)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-max(int(x), 0) // m) * m
 
 
-def _exp_of(lens: np.ndarray) -> np.ndarray:
-    """ceil(log2(len)) per entry (len >= 1)."""
-    lens = np.maximum(lens, 1)
-    e = np.frexp((lens - 1).astype(np.float64))[1]
-    return np.where(lens <= 1, 0, e).astype(np.int64)
+def _cls_of(lens: np.ndarray) -> np.ndarray:
+    """Entry class code: 0..2 for K = 1/2/4, DEEP for len >= 5 (one
+    8-fold partial per 8 products; a 5..8-product entry's single partial
+    IS its total and flows through the pool as a unit item)."""
+    return np.where(
+        lens <= 1, 0,
+        np.where(lens <= 2, 1, np.where(lens <= 4, 2, DEEP)),
+    ).astype(np.int64)
 
 
 @jax.tree_util.register_dataclass
@@ -65,17 +71,16 @@ class WindowStructure:
 
     Attributes:
       benes: per active class, the window-local TileBenesPlan.
-      extract: RunCopyPlan gathering [compact totals | deep staging] from
-        the concatenated level pyramid.
+      extract: K-fold reducing RunCopyPlan gathering [compact totals |
+        deep staging] straight from the concatenated Benes outputs.
       fb_shuffle: global Clos for the fallback pool ([fb expansion |
         deep staging] -> bin-padded slabs), or None when empty.
       fb_lvl_idx: fallback chunk-level gather indices (as in the round-2
         slab structure).
       asm_shuffle: global Clos assembling c_val from
         [compact | fb res_concat].
-      class_geom: static ((base, slots, width, levels), ...) per active
-        class — expansion offset, padded slot count, Benes width, pyramid
-        depth (1..4).
+      class_geom: static ((base, slots, width), ...) per active class —
+        expansion offset, padded slot count, Benes width.
       fb_levels: static fallback slab classes (((L, cnt), ...), ...).
       fb_off / fb_len: fallback expansion region (offset, length).
       n_compact: length of the compact prefix of the extraction output.
@@ -148,8 +153,12 @@ def build_window_structure(
     # --- per-entry / per-row stats ------------------------------------
     starts = np.concatenate([[0], ends[:-1] + 1])
     lens = ends - starts + 1
-    e_exp = _exp_of(lens)
-    slab = (np.int64(1) << e_exp)
+    ecls = _cls_of(lens)
+    units = np.where(ecls == DEEP, -(-lens // 8), 1)  # deep: ceil(len/8)
+    kfac_e = np.where(
+        ecls == DEEP, 8, np.array(CLS_K)[np.minimum(ecls, 2)]
+    )
+    slot_cost = kfac_e * units                        # window slots used
     row_of_entry = np.repeat(
         np.arange(m, dtype=np.int64), np.diff(c_rpt).astype(np.int64)
     )
@@ -160,7 +169,7 @@ def build_window_structure(
         minlength=m,
     ).astype(np.int64)
     slab_row = np.bincount(
-        row_of_entry, weights=slab, minlength=m
+        row_of_entry, weights=slot_cost, minlength=m
     ).astype(np.int64)
     weight = np.maximum(p8_row, slab_row)
 
@@ -181,18 +190,26 @@ def build_window_structure(
         rows = rows[weight[rows] > 0]
         order = np.argsort(-weight[rows], kind="stable")
         rows = rows[order]
-        wins = []
-        cur, cp8, csl = [], 0, 0
-        for r in rows:
-            if cur and (cp8 + p8_row[r] > W or csl + slab_row[r] > W):
-                wins.append(np.asarray(cur, np.int64))
-                cur, cp8, csl = [], 0, 0
-            cur.append(r)
-            cp8 += p8_row[r]
-            csl += slab_row[r]
-        if cur:
-            wins.append(np.asarray(cur, np.int64))
-        cls_windows.append(wins)
+        # bounded first-fit decreasing: scan the last FF_WINDOW open
+        # windows for space (next-fit leaves ~35% of slots dead when
+        # weights span (W/2, W])
+        wins, wp8, wsl = [], [], []
+        p8v = p8_row[rows]
+        slv = slab_row[rows]
+        for i in range(rows.size):
+            placed = False
+            for wi in range(max(0, len(wins) - FF_WINDOW), len(wins)):
+                if wp8[wi] + p8v[i] <= W and wsl[wi] + slv[i] <= W:
+                    wins[wi].append(rows[i])
+                    wp8[wi] += p8v[i]
+                    wsl[wi] += slv[i]
+                    placed = True
+                    break
+            if not placed:
+                wins.append([rows[i]])
+                wp8.append(p8v[i])
+                wsl.append(slv[i])
+        cls_windows.append([np.asarray(ws, np.int64) for ws in wins])
 
     _tick("packing")
     # --- class geometry (padded with identity windows) ----------------
@@ -213,8 +230,7 @@ def build_window_structure(
         off += slots
     fb_base = off
 
-    # window numbering (global, class-major, real windows only) + bases
-    win_base = []       # global expansion slot base per real window
+    win_base = []
     win_width = []
     win_class = []
     win_of_row = np.full(m, -1, np.int64)
@@ -234,18 +250,16 @@ def build_window_structure(
 
     _tick("geometry")
     # --- expansion layout: run placement per A entry -------------------
-    # rows in (window, pack) order, then fallback rows
     w_rows = (
         np.concatenate([r for j in active for r in cls_windows[j]])
         if n_wins else np.zeros(0, np.int64)
     )
     row_order = np.concatenate([w_rows, fb_rows])
-    # per-row expansion base: within-window (resp. fb-region) running sum
     ord_p8 = p8_row[row_order]
     cse = np.concatenate([[0], np.cumsum(ord_p8)[:-1]])  # exclusive
     grp = np.concatenate([
         win_of_row[w_rows],
-        np.full(fb_rows.size, n_wins, np.int64),  # fb pseudo-window
+        np.full(fb_rows.size, n_wins, np.int64),
     ])
     gfirst = np.flatnonzero(
         np.diff(np.concatenate([[-1], grp])) != 0
@@ -259,7 +273,6 @@ def build_window_structure(
     row_base[row_order] = row_base_ord
     fb_len = int(p8_row[fb_rows].sum())
 
-    # per-A-entry run starts: row base + within-row exclusive cumsum
     cs = np.cumsum(seg8)
     cs_excl = cs - seg8
     row_first = cs_excl[np.minimum(rpt_a[:-1], nnz_a - 1)] if nnz_a else (
@@ -276,7 +289,7 @@ def build_window_structure(
     gl = win_width - used_w
     gap_starts.append(gs[gl > 0])
     gap_lens.append(gl[gl > 0])
-    for j in active:  # identity pad windows
+    for j in active:
         W = WIN_MIN << j
         n_pad = class_nw[j] - class_nw_real[j]
         if n_pad:
@@ -288,7 +301,6 @@ def build_window_structure(
             gap_lens.append(np.full(n_pad, W, np.int64))
     gap_starts = np.concatenate(gap_starts)
     gap_lens = np.concatenate(gap_lens)
-    # chunk gaps so in-kernel table reads stay bounded
     nch = -(-gap_lens // GAP_CHUNK)
     gch = np.repeat(gap_starts, nch)
     cum = np.concatenate([[0], np.cumsum(nch)[:-1]])
@@ -324,31 +336,79 @@ def build_window_structure(
     )
 
     _tick("piecewise-plan")
-    # --- slab layout (decreasing size per window) ----------------------
+    # --- fold-slot (sigma) allocation per (window, class) --------------
+    # The Benes output folds in halves per window (F_{k+1}[i] = F_k[i] +
+    # F_k[i + W/2^{k+1}], contiguous adds at memory speed); a K-class
+    # entry allocated fold slot sigma at level log2(K) owns the F0
+    # footprint {sigma + t*W/K} and its total appears at F_{log2 K}[sigma].
+    # Slots allocate top-down (deep L3, K4 at L2, K2 at L1, singles L0):
+    # each class gets at most 2^level ascending intervals per window, so
+    # every total lands in a CONTIGUOUS run of its fold array.
     win_of_entry = win_of_row[row_of_entry]
     went = np.flatnonzero(win_of_entry >= 0)
     we_win = win_of_entry[went]
-    we_exp = e_exp[went]
-    order_e = np.lexsort((-we_exp, we_win))
+    we_cls = ecls[went]
+    cnt_wc = np.zeros((n_wins, 4), np.int64)
+    np.add.at(cnt_wc, (we_win, we_cls), units[went])
+    c0w = cnt_wc[:, 0]
+    c1w = cnt_wc[:, 1]
+    c2w = cnt_wc[:, 2]
+    uw = cnt_wc[:, DEEP]
+    w8 = win_width // 8
+    w4 = win_width // 4
+    w2 = win_width // 2
+
+    def _take(starts_, lens_, need):
+        cum = np.cumsum(lens_, axis=1)
+        prev = np.concatenate(
+            [np.zeros((n_wins, 1), np.int64), cum[:, :-1]], axis=1
+        )
+        al = np.clip(need[:, None] - prev, 0, lens_)
+        return al, prev, starts_ + al, lens_ - al
+
+    s2 = np.stack([uw, w8 + uw], axis=1)
+    l2 = np.stack([w8 - uw, w8 - uw], axis=1)
+    a2, p2, rs2, rl2 = _take(s2, l2, c2w)
+    s1 = np.concatenate([rs2, rs2 + w4[:, None]], axis=1)
+    l1 = np.concatenate([rl2, rl2], axis=1)
+    a1, p1, rs1, rl1 = _take(s1, l1, c1w)
+    s0 = np.concatenate([rs1, rs1 + w2[:, None]], axis=1)
+    l0 = np.concatenate([rl1, rl1], axis=1)
+    a0, p0, rs0, rl0 = _take(s0, l0, c0w)
+    cls_ivs = {0: (s0, a0, p0), 1: (s1, a1, p1), 2: (s2, a2, p2)}
+
+    # member rank within the (window, class) group
+    order_e = np.lexsort((we_cls, we_win))
     sorted_ids = went[order_e]
-    sizes_sorted = slab[sorted_ids]
-    csl = np.cumsum(sizes_sorted) - sizes_sorted  # exclusive
-    sw = we_win[order_e]
-    sfirst = np.flatnonzero(np.diff(np.concatenate([[-1], sw])) != 0)
-    scounts = np.diff(np.concatenate([sfirst, [sw.size]]))
-    slab_base = np.full(c_nnz, -1, np.int64)
-    slab_base[sorted_ids] = (
-        win_base[sw] + csl - np.repeat(csl[sfirst], scounts)
-    )
-    # rank within the (window, e) group (asm position inside its run)
-    ge = sw * 64 + we_exp[order_e]
-    gefirst = np.flatnonzero(np.diff(np.concatenate([[-1], ge])) != 0)
-    gecounts = np.diff(np.concatenate([gefirst, [ge.size]]))
-    rank = np.arange(ge.size, dtype=np.int64) - np.repeat(
-        gefirst, gecounts
-    )
+    gkey = we_win[order_e] * 4 + we_cls[order_e]
+    gfirst2 = np.flatnonzero(np.diff(np.concatenate([[-1], gkey])) != 0)
+    gcounts2 = np.diff(np.concatenate([gfirst2, [gkey.size]]))
+    u_sorted = units[sorted_ids]
+    ucum = np.cumsum(u_sorted) - u_sorted
+    rank = ucum - np.repeat(ucum[gfirst2], gcounts2)
     rank_of_entry = np.full(c_nnz, -1, np.int64)
     rank_of_entry[sorted_ids] = rank
+
+    # sigma + interval id per entry (rank mapped through the intervals)
+    sigma_of_entry = np.full(c_nnz, -1, np.int64)
+    iv_of_entry = np.full(c_nnz, -1, np.int64)
+    for cls in (0, 1, 2):
+        ids = went[we_cls == cls]
+        if not ids.size:
+            continue
+        wv_ = win_of_entry[ids]
+        rr = rank_of_entry[ids]
+        st_, al_, pv_ = cls_ivs[cls]
+        for i in range(st_.shape[1]):
+            m_ = (rr >= pv_[wv_, i]) & (rr < pv_[wv_, i] + al_[wv_, i])
+            sub = ids[m_]
+            sigma_of_entry[sub] = (
+                st_[wv_[m_], i] + rr[m_] - pv_[wv_[m_], i]
+            )
+            iv_of_entry[sub] = i
+    deep_ids0 = went[we_cls == DEEP]
+    sigma_of_entry[deep_ids0] = rank_of_entry[deep_ids0]  # L3 [0, U)
+    iv_of_entry[deep_ids0] = 0
 
     _tick("slab-layout")
     # --- Benes permutations per class ----------------------------------
@@ -356,8 +416,17 @@ def build_window_structure(
     exp_p = delta[apos] + bpos  # global expansion position per product
     k_p = out_pos
     sel = win_of_entry[k_p] >= 0
-    slot_p = slab_base[k_p] + (np.arange(p_total, dtype=np.int64)
-                               - starts[k_p])
+    t_p = np.arange(p_total, dtype=np.int64) - starts[k_p]
+    wv = np.maximum(win_of_entry[k_p], 0)
+    cv = ecls[k_p]
+    sig_p = sigma_of_entry[k_p]
+    is_deep = cv == DEEP
+    # fold stride W / K; deep: unit sigma + within-unit t over stride W/8
+    fold_stride = win_width[wv] >> np.minimum(cv, 2).astype(np.int64)
+    fold_stride = np.where(is_deep, win_width[wv] >> 3, fold_stride)
+    tt = np.where(is_deep, t_p % 8, t_p)
+    sig_full = np.where(is_deep, sig_p + t_p // 8, sig_p)
+    slot_p = win_base[wv] + sig_full + tt * fold_stride
     perm = np.full(fb_base, -1, np.int32)
     perm[slot_p[sel]] = exp_p[sel].astype(np.int32)
     used = np.zeros(fb_base, bool)
@@ -366,14 +435,7 @@ def build_window_structure(
     perm[empty] = np.flatnonzero(~used)  # per-window counts match
     benes = []
     class_geom = []
-    win_counts_e = np.zeros((n_wins, 3), np.int64)
-    np.add.at(
-        win_counts_e,
-        (we_win[we_exp <= 2], we_exp[we_exp <= 2]),
-        1,
-    )
-    max_e_w = np.zeros(n_wins, np.int64)
-    np.maximum.at(max_e_w, we_win, we_exp)
+    lvl_need = {}
     for j in active:
         W = WIN_MIN << j
         base, slots = class_base[j], class_slots[j]
@@ -382,84 +444,99 @@ def build_window_structure(
         ) % W
         benes.append(build_tile_benes(local.astype(np.int32), W,
                                       force=force))
-        cls_wins = np.flatnonzero(win_class == j)
-        maxe = int(max_e_w[cls_wins].max()) if cls_wins.size else 0
-        levels = 1 + min(3, maxe)
-        class_geom.append((base, slots, W, levels))
+        wins_j = np.flatnonzero(win_class == j)
+        lv = 0
+        if np.any(c1w[wins_j] > 0):
+            lv = 1
+        if np.any(c2w[wins_j] > 0):
+            lv = 2
+        if np.any(uw[wins_j] > 0):
+            lv = 3
+        lvl_need[j] = lv
+        class_geom.append((base, slots, W, lv))
 
     _tick("benes-route")
-    # --- level pyramid geometry + extraction runs ----------------------
+    # --- extraction runs: contiguous K=1 reads of the fold arrays ------
+    # fold-array concat layout: per class, [F0 | F1 | .. | F_lv]
     level_off = {}
     src_off = 0
-    for (base, slots, W, levels), j in zip(class_geom, active):
+    for (base, slots, W, lv), j in zip(class_geom, active):
         offs = []
-        for k in range(levels):
+        for k in range(lv + 1):
             offs.append(src_off)
             src_off += slots >> k
         level_off[j] = offs
     n_src = src_off
-
-    slabsum_w = np.zeros(n_wins, np.int64)
-    np.add.at(slabsum_w, we_win, slab[went])
-    c0 = win_counts_e[:, 0]
-    c1 = win_counts_e[:, 1]
-    c2 = win_counts_e[:, 2]
-    a_ge8 = slabsum_w - c0 - 2 * c1 - 4 * c2
-    a_ge4 = a_ge8 + 4 * c2
-    a_ge2 = a_ge4 + 2 * c1
-    wl_base = win_base - np.array(
+    wl_idx = win_base - np.array(
         [class_base[j] for j in win_class], np.int64
-    )  # window base within its class region
-    lv_off = lambda k: np.array(  # noqa: E731
-        [level_off[j][k] if k < len(level_off[j]) else -1
-         for j in win_class], np.int64
-    )
-    run_src_by_e = [
-        lv_off(0) + wl_base + a_ge2,
-        lv_off(1) + wl_base // 2 + a_ge4 // 2,
-        lv_off(2) + wl_base // 4 + a_ge8 // 4,
-    ]
-    run_len_by_e = [c0, c1, c2]
-    comp_src, comp_len, comp_we = [], [], []
-    for e in range(3):
-        sel_r = run_len_by_e[e] > 0
-        comp_src.append(run_src_by_e[e][sel_r])
-        comp_len.append(run_len_by_e[e][sel_r])
-        comp_we.append(
-            np.flatnonzero(sel_r) * 4 + e
+    )  # window slot base within its class region
+
+    def _lvl_off(k):
+        return np.array(
+            [level_off[j][k] if k < len(level_off[j]) else -1
+             for j in win_class], np.int64
         )
-    deep_sel = a_ge8 > 0
-    deep_wins = np.flatnonzero(deep_sel)
-    deep_src = (lv_off(3) + wl_base // 8)[deep_wins]
-    deep_len = (a_ge8 // 8)[deep_wins]
-    comp_src = np.concatenate(comp_src) if comp_src else np.zeros(0,
-                                                                  np.int64)
-    comp_len = np.concatenate(comp_len)
-    comp_we = np.concatenate(comp_we)
-    # window-major ordering interleaves levels per window: better dst
-    # locality for the assembly Clos is not needed (it is global), so
-    # keep (e, window) order — long L0 runs lead, tiny L2 runs trail
-    all_src = np.concatenate([comp_src, deep_src])
-    all_len = np.concatenate([comp_len, deep_len])
-    extract, dst = build_runcopy_plan(all_src, all_len, n_src)
-    n_comp_runs = comp_src.size
+
+    run_src, run_len, run_key = [], [], []
+    for cls, lvl in ((0, 0), (1, 1), (2, 2)):
+        st_, al_, pv_ = cls_ivs[cls]
+        base_l = _lvl_off(lvl) + (wl_idx >> lvl)
+        for i in range(st_.shape[1]):
+            wsel = np.flatnonzero(al_[:, i] > 0)
+            run_src.append(base_l[wsel] + st_[wsel, i])
+            run_len.append(al_[wsel, i])
+            run_key.append((wsel * 4 + cls) * 16 + i)
+    deep_wins = np.flatnonzero(uw > 0)
+    n_comp_runs = sum(a.size for a in run_src)
+    run_src.append(_lvl_off(3)[deep_wins] + (wl_idx[deep_wins] >> 3))
+    run_len.append(uw[deep_wins])
+    all_src = np.concatenate(run_src)
+    all_len = np.concatenate(run_len)
+    # source-ascending run order (compact segment and deep tail sorted
+    # independently; deep stays last so staging is a suffix): consecutive
+    # destinations then SWEEP the fold arrays monotonically, which keeps
+    # per-supertile source spans small enough for the runcopy span
+    # classes (one sequential DMA pair per step instead of per-piece
+    # scattered block pairs)
+    ordc = np.argsort(all_src[:n_comp_runs], kind="stable")
+    ordd = n_comp_runs + np.argsort(all_src[n_comp_runs:], kind="stable")
+    ordall = np.concatenate([ordc, ordd])
+    extract, dst_s = build_runcopy_plan(
+        all_src[ordall], all_len[ordall], n_src
+    )
+    dst = np.empty_like(dst_s)
+    dst[ordall] = dst_s
     dst_comp = dst[:n_comp_runs]
     dst_deep = dst[n_comp_runs:]
-    n_compact = int(dst_deep[0]) if dst_deep.size else int(extract.n_out)
+    n_compact = (
+        int(dst_deep.min()) if dst_deep.size else int(extract.n_out)
+    )
     staging_len = int(extract.n_out) - n_compact
 
-    # compact asm position per small (e <= 2) window entry
-    run_dst_we = np.full((n_wins, 3), -1, np.int64)
-    run_dst_we[comp_we // 4, comp_we % 4] = dst_comp
-    small_ids = went[we_exp <= 2]
-    asm_small = (
-        run_dst_we[win_of_entry[small_ids], e_exp[small_ids]]
-        + rank_of_entry[small_ids]
-    )
+    # compact asm position per small entry: its interval's dst + offset
+    run_dst = np.full((n_wins, 3, 8), -1, np.int64)
+    key_all = np.concatenate(run_key) if run_key else np.zeros(0, np.int64)
+    run_dst[
+        (key_all // 16) // 4, (key_all // 16) % 4, key_all % 16
+    ] = dst_comp
+    small_ids = went[we_cls <= 2]
+    sw = win_of_entry[small_ids]
+    sc = ecls[small_ids]
+    siv = iv_of_entry[small_ids]
+    _, al_0, pv_0 = cls_ivs[0]
+    asm_small = np.empty(small_ids.size, np.int64)
+    for cls in (0, 1, 2):
+        m_ = sc == cls
+        _, al_c, pv_c = cls_ivs[cls]
+        asm_small[m_] = (
+            run_dst[sw[m_], cls, siv[m_]]
+            + rank_of_entry[small_ids[m_]]
+            - pv_c[sw[m_], siv[m_]]
+        )
 
     _tick("extraction")
-    # --- fallback pool: fb rows' products + deep slabs' L3 partials ----
-    deep_ids = went[we_exp >= DEEP_E]
+    # --- fallback pool: fb rows' products + deep entries' partials -----
+    deep_ids = went[we_cls == DEEP]
     fb_entry_ids = np.flatnonzero(win_of_entry < 0)
     fb_shuffle = None
     fb_levels = ()
@@ -468,22 +545,17 @@ def build_window_structure(
     slab_fb = None
     if fb_entry_ids.size or deep_ids.size:
         items = np.concatenate([fb_entry_ids, deep_ids])
-        item_lens = np.concatenate([
-            lens[fb_entry_ids], np.int64(1) << (e_exp[deep_ids] - DEEP_E)
-        ])
+        item_lens = np.concatenate([lens[fb_entry_ids], units[deep_ids]])
         ends_fb = np.cumsum(item_lens) - 1
         p_total_fb = int(item_lens.sum())
-        # fb products are plan-order grouped by entry already
         src_fb_prod = (exp_p[~sel] - fb_base).astype(np.int64)
-        # deep partials: staging offset + level-3 slab span
         if deep_ids.size:
             dwin = win_of_entry[deep_ids]
             stage_of_win = np.full(n_wins, -1, np.int64)
             stage_of_win[deep_wins] = dst_deep - n_compact
-            dl = (np.int64(1) << (e_exp[deep_ids] - DEEP_E))
+            dl = units[deep_ids]
             dbase = (
-                fb_len + stage_of_win[dwin]
-                + (slab_base[deep_ids] - win_base[dwin]) // 8
+                fb_len + stage_of_win[dwin] + rank_of_entry[deep_ids]
             )
             cumd = np.concatenate([[0], np.cumsum(dl)[:-1]])
             di = np.arange(int(dl.sum()), dtype=np.int64) - np.repeat(
@@ -494,8 +566,6 @@ def build_window_structure(
             src_deep = np.zeros(0, np.int64)
         src_pos_fb = np.concatenate([src_fb_prod, src_deep])
 
-        # zero pool: fb interior run pads + staging slack (runcopy zeroes
-        # every non-run slot)
         fb_ae = np.flatnonzero(win_of_row[
             np.repeat(np.arange(m, dtype=np.int64), deg_a)
         ] < 0)
@@ -508,8 +578,7 @@ def build_window_structure(
         )
         stage_used = np.zeros(staging_len, bool)
         if deep_ids.size:
-            su = src_deep - fb_len
-            stage_used[su] = True
+            stage_used[src_deep - fb_len] = True
         pool = np.concatenate([
             fb_interior, fb_len + np.flatnonzero(~stage_used)
         ])
@@ -531,6 +600,7 @@ def build_window_structure(
     asm_src[small_ids] = asm_small
     if slab_fb is not None:
         asm_src[slab_fb["asm_entry"]] = n_compact + slab_fb["asm_pos"]
+    assert (asm_src[:c_nnz] >= 0).all(), "uncovered output entry"
     used = np.zeros(n_asm, bool)
     used[asm_src[:c_nnz]] = True
     rest = np.flatnonzero(asm_src == -1)
@@ -538,16 +608,14 @@ def build_window_structure(
     asm_shuffle = build_shuffle_plan(asm_src.astype(np.int32))
 
     _tick("asm-route")
-    if __import__("os").environ.get("NSPARSE_WIN_DEBUG"):
+    if os.environ.get("NSPARSE_WIN_DEBUG"):
         global _LAST_DEBUG
         _LAST_DEBUG = dict(
             run_start_ae=run_start_ae, exp_p=exp_p, slot_p=slot_p,
-            sel=sel, slab_base=slab_base, win_base=win_base,
-            win_of_entry=win_of_entry, e_exp=e_exp, lens=lens,
-            starts=starts, dst=dst, n_comp_runs=n_comp_runs,
-            comp_we=comp_we, rank_of_entry=rank_of_entry,
-            run_dst_we=run_dst_we, fb_base=fb_base, level_off=level_off,
-            a_ge2=a_ge2, a_ge4=a_ge4, a_ge8=a_ge8, win_class=win_class,
+            sel=sel, win_base=win_base, win_of_entry=win_of_entry,
+            lens=lens, starts=starts, dst=dst, fb_base=fb_base,
+            cnt_wc=cnt_wc, sigma_of_entry=sigma_of_entry,
+            rank_of_entry=rank_of_entry,
         )
     win = WindowStructure(
         benes=tuple(benes),
@@ -566,8 +634,8 @@ def build_window_structure(
 
 def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     """Window-arena numeric phase (pure jit): expand -> per-window Benes
-    -> pairwise level pyramid -> run-copy extraction -> fallback Clos +
-    class reductions -> assembly Clos."""
+    -> K-fold run-copy extraction -> fallback Clos + class reductions
+    -> assembly Clos."""
     from nsparse_tpu.ops.kernels.piecewise import piecewise_expand
     from nsparse_tpu.ops.kernels.runcopy import runcopy
     from nsparse_tpu.ops.kernels.shuffle_pallas import (
@@ -582,10 +650,12 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     for bp, (base, slots, width, levels) in zip(w.benes, w.class_geom):
         x = tile_benes_apply(bp, prod[base : base + slots])
         parts.append(x)
-        for _ in range(1, levels):
-            x = x.reshape(-1, 2).sum(axis=1)
-            parts.append(x)
-    src = jnp.concatenate(parts)
+        cur = x.reshape(-1, width)
+        for k in range(1, levels + 1):
+            half = width >> k
+            cur = cur[:, :half] + cur[:, half:]
+            parts.append(cur.reshape(-1))
+    src = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     ext = runcopy(w.extract, src)
     res = ext[: w.n_compact]
     if w.fb_shuffle is not None:

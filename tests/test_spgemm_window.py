@@ -54,8 +54,8 @@ def test_window_path_rmat():
 
 def test_window_path_uniform_no_fallback_rows():
     """A banded stencil product: every row fits the smallest windows (no
-    fallback ROWS); its 5-product center entries are deep (len 5 -> slab
-    8 >= 2^DEEP_E), so the pool carries only level-3 partials."""
+    fallback ROWS); the 5-product center entries are single 8-fold
+    partials riding the pool as unit items."""
     a = stencil_csr(28, 28, dtype=np.float64)
     plan = _check_window(a, a)
     assert plan.win.fb_len == 0  # no row fell back
