@@ -46,7 +46,7 @@ from nsparse_tpu.ops.kernels.gather_pallas import (
 
 SUB = 8                      # subtiles per grid step (grid-step amortization)
 SUPER = SUB * TILE           # products per supertile
-J_CLASSES = (8, 32, 128)     # piece budgets (supertile max runs per subtile)
+J_CLASSES = (8, 16, 32, 64, 128)  # piece budgets (supertile max runs/subtile)
 BIAS = 2048                  # zero rows prepended to the B table (neg offsets)
 SRC_ROWS = 16                # sublane rows per piece slice (1024 + align span)
 BANK_K = 16                  # pre-rolled bank copies (8-aligned mode)

@@ -254,32 +254,30 @@ def build_window_structure(
         np.concatenate([r for j in active for r in cls_windows[j]])
         if n_wins else np.zeros(0, np.int64)
     )
-    row_order = np.concatenate([w_rows, fb_rows])
-    ord_p8 = p8_row[row_order]
-    cse = np.concatenate([[0], np.cumsum(ord_p8)[:-1]])  # exclusive
-    grp = np.concatenate([
-        win_of_row[w_rows],
-        np.full(fb_rows.size, n_wins, np.int64),
-    ])
-    gfirst = np.flatnonzero(
-        np.diff(np.concatenate([[-1], grp])) != 0
-    )
-    gcounts = np.diff(np.concatenate([gfirst, [grp.size]]))
-    base_of_grp = np.concatenate([win_base, [fb_base]])
-    row_base_ord = (
-        base_of_grp[grp] + cse - np.repeat(cse[gfirst], gcounts)
-    )
-    row_base = np.zeros(m, np.int64)
-    row_base[row_order] = row_base_ord
     fb_len = int(p8_row[fb_rows].sum())
-
-    cs = np.cumsum(seg8)
-    cs_excl = cs - seg8
-    row_first = cs_excl[np.minimum(rpt_a[:-1], nnz_a - 1)] if nnz_a else (
-        np.zeros(m, np.int64)
+    # per-run placement, runs of a window sorted by DESCENDING length:
+    # the expansion kernel's piece budget is a per-supertile class (one
+    # run-dense subtile drags 8 subtiles to a high-J class), so
+    # clustering short runs together concentrates the high-J cost on few
+    # supertiles; the Benes absorbs any in-window order.  Fallback rows
+    # keep A-entry-major order (the pool's padding math relies on it).
+    row_of_ae = np.repeat(np.arange(m, dtype=np.int64), deg_a)
+    g_ae = win_of_row[row_of_ae]
+    g_ae = np.where(g_ae < 0, n_wins, g_ae)
+    aeid = np.arange(nnz_a, dtype=np.int64)
+    lkey = np.where(g_ae == n_wins, 0, -seg8)
+    ordae = np.lexsort((aeid, lkey, g_ae))
+    sg = seg8[ordae]
+    cs2 = np.cumsum(sg) - sg
+    gso = g_ae[ordae]
+    gfirst = np.flatnonzero(np.diff(np.concatenate([[-1], gso])) != 0)
+    gcounts = np.diff(np.concatenate([gfirst, [gso.size]]))
+    base_of_grp = np.concatenate([win_base, [fb_base]])
+    run_start_sorted = (
+        base_of_grp[gso] + cs2 - np.repeat(cs2[gfirst], gcounts)
     )
-    within = cs_excl - np.repeat(row_first, deg_a)
-    run_start_ae = np.repeat(row_base, deg_a) + within
+    run_start_ae = np.empty(nnz_a, np.int64)
+    run_start_ae[ordae] = run_start_sorted
 
     # gap zero-runs: per real window the unused tail, per pad window all
     gap_starts, gap_lens = [], []
@@ -366,14 +364,31 @@ def build_window_structure(
         al = np.clip(need[:, None] - prev, 0, lens_)
         return al, prev, starts_ + al, lens_ - al
 
-    s2 = np.stack([uw, w8 + uw], axis=1)
+    def _by_capacity(starts_, lens_):
+        # fill the largest interval first: most windows then use ONE
+        # interval per class, and every interval is one extraction run —
+        # run count (hence phase-slack, extraction subtiles, and the
+        # assembly-Clos width) scales with it
+        o = np.argsort(-lens_, axis=1, kind="stable")
+        return (
+            np.take_along_axis(starts_, o, 1),
+            np.take_along_axis(lens_, o, 1),
+        )
+
+    # deep units END-PACKED at L3 ([w8-U, w8)): the free region below is
+    # one contiguous interval instead of two fragments
+    s2 = np.stack([np.zeros(n_wins, np.int64), w8], axis=1)
     l2 = np.stack([w8 - uw, w8 - uw], axis=1)
     a2, p2, rs2, rl2 = _take(s2, l2, c2w)
-    s1 = np.concatenate([rs2, rs2 + w4[:, None]], axis=1)
-    l1 = np.concatenate([rl2, rl2], axis=1)
+    s1, l1 = _by_capacity(
+        np.concatenate([rs2, rs2 + w4[:, None]], axis=1),
+        np.concatenate([rl2, rl2], axis=1),
+    )
     a1, p1, rs1, rl1 = _take(s1, l1, c1w)
-    s0 = np.concatenate([rs1, rs1 + w2[:, None]], axis=1)
-    l0 = np.concatenate([rl1, rl1], axis=1)
+    s0, l0 = _by_capacity(
+        np.concatenate([rs1, rs1 + w2[:, None]], axis=1),
+        np.concatenate([rl1, rl1], axis=1),
+    )
     a0, p0, rs0, rl0 = _take(s0, l0, c0w)
     cls_ivs = {0: (s0, a0, p0), 1: (s1, a1, p1), 2: (s2, a2, p2)}
 
@@ -407,7 +422,10 @@ def build_window_structure(
             )
             iv_of_entry[sub] = i
     deep_ids0 = went[we_cls == DEEP]
-    sigma_of_entry[deep_ids0] = rank_of_entry[deep_ids0]  # L3 [0, U)
+    dwin0 = win_of_entry[deep_ids0]  # L3 end-packed: [w8 - U, w8)
+    sigma_of_entry[deep_ids0] = (
+        w8[dwin0] - uw[dwin0] + rank_of_entry[deep_ids0]
+    )
     iv_of_entry[deep_ids0] = 0
 
     _tick("slab-layout")
@@ -488,7 +506,10 @@ def build_window_structure(
             run_key.append((wsel * 4 + cls) * 16 + i)
     deep_wins = np.flatnonzero(uw > 0)
     n_comp_runs = sum(a.size for a in run_src)
-    run_src.append(_lvl_off(3)[deep_wins] + (wl_idx[deep_wins] >> 3))
+    run_src.append(
+        _lvl_off(3)[deep_wins] + (wl_idx[deep_wins] >> 3)
+        + w8[deep_wins] - uw[deep_wins]
+    )
     run_len.append(uw[deep_wins])
     all_src = np.concatenate(run_src)
     all_len = np.concatenate(run_len)
@@ -615,7 +636,9 @@ def build_window_structure(
             sel=sel, win_base=win_base, win_of_entry=win_of_entry,
             lens=lens, starts=starts, dst=dst, fb_base=fb_base,
             cnt_wc=cnt_wc, sigma_of_entry=sigma_of_entry,
-            rank_of_entry=rank_of_entry,
+            rank_of_entry=rank_of_entry, all_src=all_src,
+            all_len=all_len, n_comp_runs=n_comp_runs,
+            win_width=win_width,
         )
     win = WindowStructure(
         benes=tuple(benes),
