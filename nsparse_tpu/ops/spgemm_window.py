@@ -404,7 +404,10 @@ def build_window_structure(
     rank_of_entry = np.full(c_nnz, -1, np.int64)
     rank_of_entry[sorted_ids] = rank
 
-    # sigma + interval id per entry (rank mapped through the intervals)
+    # sigma + interval id per entry (rank mapped through the intervals):
+    # pv_ rows are the ascending per-window allocation prefix, so the
+    # interval id is one vectorized rank-vs-prefix comparison (the old
+    # per-interval masked passes were ~half the slab-layout cost)
     sigma_of_entry = np.full(c_nnz, -1, np.int64)
     iv_of_entry = np.full(c_nnz, -1, np.int64)
     for cls in (0, 1, 2):
@@ -414,13 +417,10 @@ def build_window_structure(
         wv_ = win_of_entry[ids]
         rr = rank_of_entry[ids]
         st_, al_, pv_ = cls_ivs[cls]
-        for i in range(st_.shape[1]):
-            m_ = (rr >= pv_[wv_, i]) & (rr < pv_[wv_, i] + al_[wv_, i])
-            sub = ids[m_]
-            sigma_of_entry[sub] = (
-                st_[wv_[m_], i] + rr[m_] - pv_[wv_[m_], i]
-            )
-            iv_of_entry[sub] = i
+        iv = (rr[:, None] >= pv_[wv_]).sum(axis=1) - 1
+        iv = np.minimum(iv, st_.shape[1] - 1)
+        sigma_of_entry[ids] = st_[wv_, iv] + rr - pv_[wv_, iv]
+        iv_of_entry[ids] = iv
     deep_ids0 = went[we_cls == DEEP]
     dwin0 = win_of_entry[deep_ids0]  # L3 end-packed: [w8 - U, w8)
     sigma_of_entry[deep_ids0] = (
