@@ -15,18 +15,21 @@ transposes.  This is the TPU analog of the reference keeping each row's
 hash table in one thread block's shared memory (``HashSpGEMM.hpp:509-700``)
 — row locality is what made the GPU version fast.
 
-Within a window, entries are classed by product count into K in
-{1, 2, 4, 8} (the reference's FLOP classes at output-entry granularity)
-and each class region is laid out MEMBER-MINOR: element t of entry s at
-``base + t*stride + s`` (stride = the class member count).  An entry's
-total is then the sum of K lane-ALIGNED contiguous reads — the run-copy
-kernel folds them with a handful of flat-aligned adds per piece, no lane
-compaction, no strided lowering, no level pyramid.  Entries with more
-than 8 products reduce the same way to ceil(len/8) level-3 partials that
-join the fallback pool — rows too heavy for the largest window — in the
-round-2 global-Clos slab machinery, now a small side channel.  One final
-global Clos assembles C values from the compact extraction buffer plus
-the fallback results.
+Within a window, entries are classed by product count into fold LEVELS
+0..3 (K = 2^level in {1, 2, 4, 8} — the reference's FLOP classes at
+output-entry granularity).  An entry at level k owns the strided footprint
+``{sigma + t * (W >> k)}`` of the window; the halving fold
+``F_{l+1}[i] = F_l[i] + F_l[i + W >> (l+1)]`` (contiguous adds at memory
+speed) leaves its total at ``F_k[sigma]``.  Entries with more than 8
+products leave ``ceil(len/8)`` level-3 partials and recurse through
+radix-8 FOLD TIERS *inside the same window*: tier t re-permutes the
+previous tier's F3 array (width V/8, plus a zero half for footprint
+tails) with another per-window Benes and folds three more levels, so an
+entry of any length reduces fully in-window — no partial ever leaves for
+a global pool.  Only whole rows too heavy for the largest window route
+through the round-2 global-Clos slab machinery (a small side channel).
+One final global Clos assembles C values from the compact extraction
+buffer plus the fallback results.
 """
 
 from __future__ import annotations
@@ -44,10 +47,11 @@ LANES = 128
 WIN_MIN = 512
 N_WIN_CLASSES = 7     # widths WIN_MIN << j, j = 0..6 (max 32768)
 GAP_CHUNK = 1024      # zero-run chunking bounds in-kernel table reads
-# entry classes by product count: K-fold extraction classes + deep
-CLS_K = (1, 2, 4)               # len 1 / 2 / 3..4
-DEEP = 3                        # class code for len >= 5 (partials -> pool)
+# entry classes: fold level 0..3 (K = 1/2/4/8) + deep (len >= 9)
+CLS_K = (1, 2, 4, 8)
+DEEP = 4                        # class code for len >= 9 (units -> tiers)
 FF_WINDOW = 64                  # bounded first-fit lookback (packing)
+MAX_TIERS = 8                   # radix-8 recursion bound (W <= 8^8)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -55,13 +59,92 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cls_of(lens: np.ndarray) -> np.ndarray:
-    """Entry class code: 0..2 for K = 1/2/4, DEEP for len >= 5 (one
-    8-fold partial per 8 products; a 5..8-product entry's single partial
-    IS its total and flows through the pool as a unit item)."""
+    """Entry class code: fold level 0..3 for len <= 8 (total lands at
+    F_level[sigma]), DEEP for len >= 9 (one 8-fold L3 partial per 8
+    products; partials reduce in-window through the radix-8 tiers)."""
     return np.where(
         lens <= 1, 0,
-        np.where(lens <= 2, 1, np.where(lens <= 4, 2, DEEP)),
+        np.where(lens <= 2, 1,
+                 np.where(lens <= 4, 2,
+                          np.where(lens <= 8, 3, DEEP))),
     ).astype(np.int64)
+
+
+def _take(starts_, lens_, need):
+    """Fill the per-window intervals (rows of starts_/lens_) left to right
+    with `need` slots; returns (allocated, prefix, rest starts, rest
+    lens)."""
+    n = starts_.shape[0]
+    cum = np.cumsum(lens_, axis=1)
+    prev = np.concatenate([np.zeros((n, 1), np.int64), cum[:, :-1]], axis=1)
+    al = np.clip(need[:, None] - prev, 0, lens_)
+    return al, prev, starts_ + al, lens_ - al
+
+
+def _by_capacity(starts_, lens_):
+    """Sort each window's intervals descending by length: most windows
+    then use ONE interval per level, and every interval is one extraction
+    run — run count (hence extraction subtiles and piece budgets) scales
+    with it."""
+    o = np.argsort(-lens_, axis=1, kind="stable")
+    return (
+        np.take_along_axis(starts_, o, 1),
+        np.take_along_axis(lens_, o, 1),
+    )
+
+
+def _alloc_levels(width, c0, c1, c2, c3, uw):
+    """Top-down fold-slot (sigma) allocation over pow2 windows.
+
+    An entry at level k owns F0 footprint ``{sigma + t * (width >> k)}``;
+    free slots at level l map to interval PAIRS at level l-1, so the
+    allocation walks levels 3 -> 0 with doubling interval tables.  Deep
+    units (uw consecutive L3 slots) end-pack at the top of F3, level-3
+    singles (c3) sit just below; the interval chain then serves levels
+    2/1/0.  Because every footprint nests exactly, capacity is exact:
+    any per-window demand ``sum 2^k * n_k + 8 * uw <= width`` succeeds.
+
+    Returns ``(cls_ivs {level: (starts, alloc, prefix)}, g3, dstart)``
+    with g3 = level-3 singles region start, dstart = deep region start.
+    """
+    n = width.size
+    w8 = width >> 3
+    w4 = width >> 2
+    w2 = width >> 1
+    dstart = w8 - uw
+    g3 = dstart - c3
+    if n and not (g3 >= 0).all():
+        raise AssertionError("level-3 overcommit")
+    z = np.zeros((n, 1), np.int64)
+    s2 = np.concatenate([z, w8[:, None]], axis=1)
+    l2 = np.concatenate([g3[:, None], g3[:, None]], axis=1)
+    a2, p2, rs2, rl2 = _take(s2, l2, c2)
+    s1, l1 = _by_capacity(
+        np.concatenate([rs2, rs2 + w4[:, None]], axis=1),
+        np.concatenate([rl2, rl2], axis=1),
+    )
+    a1, p1, rs1, rl1 = _take(s1, l1, c1)
+    s0, l0 = _by_capacity(
+        np.concatenate([rs1, rs1 + w2[:, None]], axis=1),
+        np.concatenate([rl1, rl1], axis=1),
+    )
+    a0, p0, _, _ = _take(s0, l0, c0)
+    return {0: (s0, a0, p0), 1: (s1, a1, p1), 2: (s2, a2, p2)}, g3, dstart
+
+
+def _group_rank(keys_win, keys_cls, sizes):
+    """Rank (size-weighted prefix) of each item within its (window,
+    class) group, groups in input order (= entry id = C order)."""
+    order = np.lexsort((keys_cls, keys_win))
+    gkey = keys_win[order] * 8 + keys_cls[order]
+    gfirst = np.flatnonzero(np.diff(np.concatenate([[-1], gkey])) != 0)
+    gcounts = np.diff(np.concatenate([gfirst, [gkey.size]]))
+    u_sorted = sizes[order]
+    ucum = np.cumsum(u_sorted) - u_sorted
+    rank_sorted = ucum - np.repeat(ucum[gfirst], gcounts)
+    rank = np.empty(keys_win.size, np.int64)
+    rank[order] = rank_sorted
+    return rank
 
 
 @jax.tree_util.register_dataclass
@@ -71,27 +154,31 @@ class WindowStructure:
 
     Attributes:
       benes: per active class, the window-local TileBenesPlan.
-      extract: K-fold reducing RunCopyPlan gathering [compact totals |
-        deep staging] straight from the concatenated Benes outputs.
-      fb_shuffle: global Clos for the fallback pool ([fb expansion |
-        deep staging] -> bin-padded slabs), or None when empty.
-      fb_lvl_idx: fallback chunk-level gather indices (as in the round-2
-        slab structure).
+      tiers: per active class, tuple of radix-8 tier TileBenesPlans
+        (tier t re-permutes the previous tier's F3 + a zero half).
+      extract: run-copy plan gathering every entry total (all tiers)
+        from the concatenated fold pyramids into the compact buffer.
+      fb_shuffle: global Clos for the fallback-ROW pool (expansion ->
+        bin-padded slabs), or None when no row falls back.
+      fb_lvl_idx: fallback chunk-level gather indices.
       asm_shuffle: global Clos assembling c_val from
         [compact | fb res_concat].
-      class_geom: static ((base, slots, width), ...) per active class —
-        expansion offset, padded slot count, Benes width.
+      class_geom: static ((base, slots, width, levels), ...) per class.
+      tier_geom: static per class: ((V, n_slots, n_pad), ...) per tier —
+        arena width (2x the previous F3), real slots, Benes-padded slots.
       fb_levels: static fallback slab classes (((L, cnt), ...), ...).
       fb_off / fb_len: fallback expansion region (offset, length).
-      n_compact: length of the compact prefix of the extraction output.
+      n_compact: length of the compact extraction output.
     """
 
     benes: Tuple
+    tiers: Tuple
     extract: object
     fb_shuffle: object
     fb_lvl_idx: Tuple
     asm_shuffle: object
     class_geom: Tuple = dataclasses.field(metadata=dict(static=True))
+    tier_geom: Tuple = dataclasses.field(metadata=dict(static=True))
     fb_levels: Tuple = dataclasses.field(metadata=dict(static=True))
     fb_off: int = dataclasses.field(metadata=dict(static=True))
     fb_len: int = dataclasses.field(metadata=dict(static=True))
@@ -156,7 +243,7 @@ def build_window_structure(
     ecls = _cls_of(lens)
     units = np.where(ecls == DEEP, -(-lens // 8), 1)  # deep: ceil(len/8)
     kfac_e = np.where(
-        ecls == DEEP, 8, np.array(CLS_K)[np.minimum(ecls, 2)]
+        ecls == DEEP, 8, np.array(CLS_K)[np.minimum(ecls, 3)]
     )
     slot_cost = kfac_e * units                        # window slots used
     row_of_entry = np.repeat(
@@ -233,20 +320,25 @@ def build_window_structure(
     win_base = []
     win_width = []
     win_class = []
+    win_loc = []       # window index within its class (real windows)
+    class_wid0 = {}    # first global window id of each class
     win_of_row = np.full(m, -1, np.int64)
     wid = 0
     for j in active:
         W = WIN_MIN << j
+        class_wid0[j] = wid
         for wl, rows in enumerate(cls_windows[j]):
             win_base.append(class_base[j] + wl * W)
             win_width.append(W)
             win_class.append(j)
+            win_loc.append(wl)
             win_of_row[rows] = wid
             wid += 1
     n_wins = wid
     win_base = np.asarray(win_base, np.int64)
     win_width = np.asarray(win_width, np.int64)
     win_class = np.asarray(win_class, np.int64)
+    win_loc = np.asarray(win_loc, np.int64)
 
     _tick("geometry")
     # --- expansion layout: run placement per A entry -------------------
@@ -334,80 +426,30 @@ def build_window_structure(
     )
 
     _tick("piecewise-plan")
-    # --- fold-slot (sigma) allocation per (window, class) --------------
-    # The Benes output folds in halves per window (F_{k+1}[i] = F_k[i] +
-    # F_k[i + W/2^{k+1}], contiguous adds at memory speed); a K-class
-    # entry allocated fold slot sigma at level log2(K) owns the F0
-    # footprint {sigma + t*W/K} and its total appears at F_{log2 K}[sigma].
-    # Slots allocate top-down (deep L3, K4 at L2, K2 at L1, singles L0):
-    # each class gets at most 2^level ascending intervals per window, so
-    # every total lands in a CONTIGUOUS run of its fold array.
+    # --- tier-1 fold-slot (sigma) allocation per (window, class) -------
     win_of_entry = win_of_row[row_of_entry]
     went = np.flatnonzero(win_of_entry >= 0)
     we_win = win_of_entry[went]
     we_cls = ecls[went]
-    cnt_wc = np.zeros((n_wins, 4), np.int64)
+    cnt_wc = np.zeros((n_wins, 5), np.int64)
     np.add.at(cnt_wc, (we_win, we_cls), units[went])
     c0w = cnt_wc[:, 0]
     c1w = cnt_wc[:, 1]
     c2w = cnt_wc[:, 2]
+    c3w = cnt_wc[:, 3]
     uw = cnt_wc[:, DEEP]
-    w8 = win_width // 8
-    w4 = win_width // 4
-    w2 = win_width // 2
-
-    def _take(starts_, lens_, need):
-        cum = np.cumsum(lens_, axis=1)
-        prev = np.concatenate(
-            [np.zeros((n_wins, 1), np.int64), cum[:, :-1]], axis=1
-        )
-        al = np.clip(need[:, None] - prev, 0, lens_)
-        return al, prev, starts_ + al, lens_ - al
-
-    def _by_capacity(starts_, lens_):
-        # fill the largest interval first: most windows then use ONE
-        # interval per class, and every interval is one extraction run —
-        # run count (hence phase-slack, extraction subtiles, and the
-        # assembly-Clos width) scales with it
-        o = np.argsort(-lens_, axis=1, kind="stable")
-        return (
-            np.take_along_axis(starts_, o, 1),
-            np.take_along_axis(lens_, o, 1),
-        )
-
-    # deep units END-PACKED at L3 ([w8-U, w8)): the free region below is
-    # one contiguous interval instead of two fragments
-    s2 = np.stack([np.zeros(n_wins, np.int64), w8], axis=1)
-    l2 = np.stack([w8 - uw, w8 - uw], axis=1)
-    a2, p2, rs2, rl2 = _take(s2, l2, c2w)
-    s1, l1 = _by_capacity(
-        np.concatenate([rs2, rs2 + w4[:, None]], axis=1),
-        np.concatenate([rl2, rl2], axis=1),
+    cls_ivs, g3w, dstartw = _alloc_levels(
+        win_width, c0w, c1w, c2w, c3w, uw
     )
-    a1, p1, rs1, rl1 = _take(s1, l1, c1w)
-    s0, l0 = _by_capacity(
-        np.concatenate([rs1, rs1 + w2[:, None]], axis=1),
-        np.concatenate([rl1, rl1], axis=1),
-    )
-    a0, p0, rs0, rl0 = _take(s0, l0, c0w)
-    cls_ivs = {0: (s0, a0, p0), 1: (s1, a1, p1), 2: (s2, a2, p2)}
 
     # member rank within the (window, class) group
-    order_e = np.lexsort((we_cls, we_win))
-    sorted_ids = went[order_e]
-    gkey = we_win[order_e] * 4 + we_cls[order_e]
-    gfirst2 = np.flatnonzero(np.diff(np.concatenate([[-1], gkey])) != 0)
-    gcounts2 = np.diff(np.concatenate([gfirst2, [gkey.size]]))
-    u_sorted = units[sorted_ids]
-    ucum = np.cumsum(u_sorted) - u_sorted
-    rank = ucum - np.repeat(ucum[gfirst2], gcounts2)
+    rank_went = _group_rank(we_win, we_cls, units[went])
     rank_of_entry = np.full(c_nnz, -1, np.int64)
-    rank_of_entry[sorted_ids] = rank
+    rank_of_entry[went] = rank_went
 
     # sigma + interval id per entry (rank mapped through the intervals):
     # pv_ rows are the ascending per-window allocation prefix, so the
-    # interval id is one vectorized rank-vs-prefix comparison (the old
-    # per-interval masked passes were ~half the slab-layout cost)
+    # interval id is one vectorized rank-vs-prefix comparison
     sigma_of_entry = np.full(c_nnz, -1, np.int64)
     iv_of_entry = np.full(c_nnz, -1, np.int64)
     for cls in (0, 1, 2):
@@ -421,15 +463,20 @@ def build_window_structure(
         iv = np.minimum(iv, st_.shape[1] - 1)
         sigma_of_entry[ids] = st_[wv_, iv] + rr - pv_[wv_, iv]
         iv_of_entry[ids] = iv
+    ids3 = went[we_cls == 3]
+    sigma_of_entry[ids3] = (
+        g3w[win_of_entry[ids3]] + rank_of_entry[ids3]
+    )
+    iv_of_entry[ids3] = 0
     deep_ids0 = went[we_cls == DEEP]
-    dwin0 = win_of_entry[deep_ids0]  # L3 end-packed: [w8 - U, w8)
+    dwin0 = win_of_entry[deep_ids0]  # end-packed: [w8 - U, w8)
     sigma_of_entry[deep_ids0] = (
-        w8[dwin0] - uw[dwin0] + rank_of_entry[deep_ids0]
+        dstartw[dwin0] + rank_of_entry[deep_ids0]
     )
     iv_of_entry[deep_ids0] = 0
 
     _tick("slab-layout")
-    # --- Benes permutations per class ----------------------------------
+    # --- tier-1 Benes permutations per class ----------------------------
     delta = run_start_ae - rpt_b[col_a]
     exp_p = delta[apos] + bpos  # global expansion position per product
     k_p = out_pos
@@ -439,9 +486,8 @@ def build_window_structure(
     cv = ecls[k_p]
     sig_p = sigma_of_entry[k_p]
     is_deep = cv == DEEP
-    # fold stride W / K; deep: unit sigma + within-unit t over stride W/8
-    fold_stride = win_width[wv] >> np.minimum(cv, 2).astype(np.int64)
-    fold_stride = np.where(is_deep, win_width[wv] >> 3, fold_stride)
+    # fold stride W >> level; deep: unit sigma + within-unit t, stride W/8
+    fold_stride = win_width[wv] >> np.minimum(cv, 3).astype(np.int64)
     tt = np.where(is_deep, t_p % 8, t_p)
     sig_full = np.where(is_deep, sig_p + t_p // 8, sig_p)
     slot_p = win_base[wv] + sig_full + tt * fold_stride
@@ -468,124 +514,258 @@ def build_window_structure(
             lv = 1
         if np.any(c2w[wins_j] > 0):
             lv = 2
-        if np.any(uw[wins_j] > 0):
+        if np.any((c3w[wins_j] > 0) | (uw[wins_j] > 0)):
             lv = 3
         lvl_need[j] = lv
         class_geom.append((base, slots, W, lv))
 
     _tick("benes-route")
-    # --- extraction runs: contiguous K=1 reads of the fold arrays ------
-    # fold-array concat layout: per class, [F0 | F1 | .. | F_lv]
-    level_off = {}
+    # --- radix-8 fold tiers + unified extraction runs ------------------
+    # Host mirror of the device parts sequence: per class j the tier-1
+    # pyramid [F0 | F1 | .. | F_lv], then per tier t >= 2 its fold levels
+    # [T_F1 | T_F2 | T_F3] (the tier's L0 arena is never extracted).
+    lvloff = {}            # (class j, tier, level) -> src offset
+    tier_plans = []        # per active class: [TileBenesPlan, ...]
+    tier_geoms = []        # per active class: [(V, n_slots, n_pad), ...]
+    run_src, run_len = [], []
+    run_id = 0
+    # per finished entry: run id + offset within the run
+    ent_run = np.full(c_nnz, -1, np.int64)
+    ent_off = np.zeros(c_nnz, np.int64)
+
+    def _emit(srcs, lens_, wins_sel, tab):
+        """Append one run per selected window; record run ids in tab."""
+        nonlocal run_id
+        run_src.append(srcs)
+        run_len.append(lens_)
+        tab[wins_sel] = run_id + np.arange(wins_sel.size)
+        run_id += wins_sel.size
+
+    # tier-1 runs: levels 0..2 intervals + the level-3 singles region
+    wl_idx = win_base - np.array(
+        [class_base[j] for j in win_class], np.int64
+    )  # window slot base within its class region
+    lvl1_off = {}
     src_off = 0
     for (base, slots, W, lv), j in zip(class_geom, active):
         offs = []
         for k in range(lv + 1):
             offs.append(src_off)
+            lvloff[(j, 1, k)] = src_off
             src_off += slots >> k
-        level_off[j] = offs
-    n_src = src_off
-    wl_idx = win_base - np.array(
-        [class_base[j] for j in win_class], np.int64
-    )  # window slot base within its class region
+        lvl1_off[j] = offs
 
-    def _lvl_off(k):
+    def _lvl1(k):
         return np.array(
-            [level_off[j][k] if k < len(level_off[j]) else -1
+            [lvl1_off[j][k] if k < len(lvl1_off[j]) else -1
              for j in win_class], np.int64
         )
 
-    run_src, run_len, run_key = [], [], []
-    for cls, lvl in ((0, 0), (1, 1), (2, 2)):
+    # run-id tables for assembly-position recovery
+    rid_iv = np.full((n_wins, 3, 8), -1, np.int64)
+    rid_c3 = np.full(n_wins, -1, np.int64)
+    for cls in (0, 1, 2):
         st_, al_, pv_ = cls_ivs[cls]
-        base_l = _lvl_off(lvl) + (wl_idx >> lvl)
+        base_l = _lvl1(cls) + (wl_idx >> cls)
         for i in range(st_.shape[1]):
             wsel = np.flatnonzero(al_[:, i] > 0)
-            run_src.append(base_l[wsel] + st_[wsel, i])
-            run_len.append(al_[wsel, i])
-            run_key.append((wsel * 4 + cls) * 16 + i)
-    deep_wins = np.flatnonzero(uw > 0)
-    n_comp_runs = sum(a.size for a in run_src)
-    run_src.append(
-        _lvl_off(3)[deep_wins] + (wl_idx[deep_wins] >> 3)
-        + w8[deep_wins] - uw[deep_wins]
-    )
-    run_len.append(uw[deep_wins])
-    all_src = np.concatenate(run_src)
-    all_len = np.concatenate(run_len)
-    # source-ascending run order (compact segment and deep tail sorted
-    # independently; deep stays last so staging is a suffix): consecutive
-    # destinations then SWEEP the fold arrays monotonically, which keeps
-    # per-supertile source spans small enough for the runcopy span
-    # classes (one sequential DMA pair per step instead of per-piece
-    # scattered block pairs)
-    ordc = np.argsort(all_src[:n_comp_runs], kind="stable")
-    ordd = n_comp_runs + np.argsort(all_src[n_comp_runs:], kind="stable")
-    ordall = np.concatenate([ordc, ordd])
-    extract, dst_s = build_runcopy_plan(
-        all_src[ordall], all_len[ordall], n_src
-    )
-    dst = np.empty_like(dst_s)
-    dst[ordall] = dst_s
-    dst_comp = dst[:n_comp_runs]
-    dst_deep = dst[n_comp_runs:]
-    n_compact = (
-        int(dst_deep.min()) if dst_deep.size else int(extract.n_out)
-    )
-    staging_len = int(extract.n_out) - n_compact
+            if not wsel.size:
+                continue
+            _emit(base_l[wsel] + st_[wsel, i], al_[wsel, i], wsel,
+                  rid_iv[:, cls, i])
+    w3 = np.flatnonzero(c3w > 0)
+    if w3.size:
+        _emit(_lvl1(3)[w3] + (wl_idx[w3] >> 3) + g3w[w3], c3w[w3], w3,
+              rid_c3)
 
-    # compact asm position per small entry: its interval's dst + offset
-    run_dst = np.full((n_wins, 3, 8), -1, np.int64)
-    key_all = np.concatenate(run_key) if run_key else np.zeros(0, np.int64)
-    run_dst[
-        (key_all // 16) // 4, (key_all // 16) % 4, key_all % 16
-    ] = dst_comp
+    # asm position references for tier-1 finished entries
     small_ids = went[we_cls <= 2]
     sw = win_of_entry[small_ids]
     sc = ecls[small_ids]
     siv = iv_of_entry[small_ids]
-    _, al_0, pv_0 = cls_ivs[0]
-    asm_small = np.empty(small_ids.size, np.int64)
+    ent_run[small_ids] = rid_iv[sw, sc, siv]
     for cls in (0, 1, 2):
-        m_ = sc == cls
-        _, al_c, pv_c = cls_ivs[cls]
-        asm_small[m_] = (
-            run_dst[sw[m_], cls, siv[m_]]
-            + rank_of_entry[small_ids[m_]]
-            - pv_c[sw[m_], siv[m_]]
+        m_ = small_ids[sc == cls]
+        _, _, pv_c = cls_ivs[cls]
+        ent_off[m_] = (
+            rank_of_entry[m_]
+            - pv_c[win_of_entry[m_], iv_of_entry[m_]]
         )
+    ent_run[ids3] = rid_c3[win_of_entry[ids3]]
+    ent_off[ids3] = rank_of_entry[ids3]
+
+    # tiers: per class, recurse on the deep items
+    for (base, slots, W, lv), j in zip(class_geom, active):
+        plans_j, geoms_j = [], []
+        wid0 = class_wid0[j]
+        n_w_t = class_nw[j]           # includes identity pad windows
+        d_sel = deep_ids0[win_class[win_of_entry[deep_ids0]] == j]
+        items = d_sel                                  # global entry ids
+        u = units[items]
+        sprev = sigma_of_entry[items]   # F3-local slot of the 1st partial
+        wloc = win_loc[win_of_entry[items]]
+        v_in = W >> 3
+        tier = 2
+        while items.size:
+            if tier > MAX_TIERS:
+                raise AssertionError("tier recursion failed to terminate")
+            V = 2 * v_in
+            tile_w = max(256, V)
+            n_slots = n_w_t * V
+            n_pad = _round_up(n_slots, max(16384, tile_w))
+            # classify items by partial count
+            kk = np.where(u <= 2, 1,
+                          np.where(u <= 4, 2,
+                                   np.where(u <= 8, 3, DEEP)))
+            un = np.where(kk == DEEP, -(-u // 8), 1)
+            cnt = np.zeros((n_w_t, 5), np.int64)
+            np.add.at(cnt, (wloc, kk), un)
+            wv_t = np.full(n_w_t, V, np.int64)
+            civ, g3t, dstt = _alloc_levels(
+                wv_t, cnt[:, 0], cnt[:, 1], cnt[:, 2], cnt[:, 3],
+                cnt[:, DEEP],
+            )
+            rk = _group_rank(wloc, kk, un)
+            sig_t = np.empty(items.size, np.int64)
+            iv_t = np.zeros(items.size, np.int64)
+            for cls in (1, 2):
+                m_ = np.flatnonzero(kk == cls)
+                if not m_.size:
+                    continue
+                st_, al_, pv_ = civ[cls]
+                iv = (rk[m_][:, None] >= pv_[wloc[m_]]).sum(axis=1) - 1
+                iv = np.minimum(iv, st_.shape[1] - 1)
+                sig_t[m_] = st_[wloc[m_], iv] + rk[m_] - pv_[wloc[m_], iv]
+                iv_t[m_] = iv
+            m3 = np.flatnonzero(kk == 3)
+            sig_t[m3] = g3t[wloc[m3]] + rk[m3]
+            md = np.flatnonzero(kk == DEEP)
+            sig_t[md] = dstt[wloc[md]] + rk[md]
+
+            # permutation: partial s of item i -> its footprint slot
+            nper = u
+            ii = np.repeat(np.arange(items.size, dtype=np.int64), nper)
+            cumn = np.concatenate([[0], np.cumsum(nper)[:-1]])
+            s = np.arange(int(nper.sum()), dtype=np.int64) - np.repeat(
+                cumn, nper
+            )
+            kki = kk[ii]
+            stride = V >> np.minimum(kki, 3)
+            tts = np.where(kki == DEEP, s % 8, s)
+            sgf = np.where(kki == DEEP, sig_t[ii] + s // 8, sig_t[ii])
+            dstp = wloc[ii] * V + sgf + tts * stride
+            srcp = wloc[ii] * V + sprev[ii] + s
+            # footprint tails (slots beyond u) read the ZERO half
+            fsz = np.where(kk == DEEP, 8 * un, 1 << np.minimum(kk, 3))
+            tail = fsz - u
+            ti = np.repeat(np.arange(items.size, dtype=np.int64), tail)
+            cumt = np.concatenate([[0], np.cumsum(tail)[:-1]])
+            st2 = u[ti] + (
+                np.arange(int(tail.sum()), dtype=np.int64)
+                - np.repeat(cumt, tail)
+            )
+            kkt = kk[ti]
+            stridet = V >> np.minimum(kkt, 3)
+            ttt = np.where(kkt == DEEP, st2 % 8, st2)
+            sgt = np.where(kkt == DEEP, sig_t[ti] + st2 // 8, sig_t[ti])
+            dstt_p = wloc[ti] * V + sgt + ttt * stridet
+            # zero-half sources: per window, sequential from V/2
+            zrank = _group_rank(
+                wloc[ti], np.zeros(ti.size, np.int64),
+                np.ones(ti.size, np.int64),
+            )
+            srct_p = wloc[ti] * V + v_in + zrank
+            permt = np.full(n_pad, -1, np.int32)
+            permt[dstp] = srcp.astype(np.int32)
+            permt[dstt_p] = srct_p.astype(np.int32)
+            usedt = np.zeros(n_pad, bool)
+            usedt[srcp] = True
+            usedt[srct_p] = True
+            emptyt = np.flatnonzero(permt == -1)
+            permt[emptyt] = np.flatnonzero(~usedt)
+            # tile-local indices (windows nest within tiles)
+            tb = (np.arange(n_pad, dtype=np.int64) // tile_w) * tile_w
+            local = (permt.astype(np.int64) - tb) % tile_w
+            plans_j.append(build_tile_benes(
+                local.astype(np.int32), tile_w, force=force
+            ))
+            geoms_j.append((int(V), int(n_slots), int(n_pad)))
+
+            # parts offsets + extraction runs for levels 1..3
+            for k in (1, 2, 3):
+                lvloff[(j, tier, k)] = src_off
+                src_off += n_slots >> k
+            rid_t = np.full((n_w_t, 3, 8), -1, np.int64)
+            rid_t3 = np.full(n_w_t, -1, np.int64)
+            for cls in (1, 2):
+                st_, al_, pv_ = civ[cls]
+                bl = lvloff[(j, tier, cls)] + (
+                    np.arange(n_w_t, dtype=np.int64) * (V >> cls)
+                )
+                for i in range(st_.shape[1]):
+                    wsel = np.flatnonzero(al_[:, i] > 0)
+                    if not wsel.size:
+                        continue
+                    _emit(bl[wsel] + st_[wsel, i], al_[wsel, i], wsel,
+                          rid_t[:, cls, i])
+            w3t = np.flatnonzero(cnt[:, 3] > 0)
+            if w3t.size:
+                _emit(
+                    lvloff[(j, tier, 3)] + w3t * (V >> 3) + g3t[w3t],
+                    cnt[w3t, 3], w3t, rid_t3,
+                )
+            fin = kk <= 3
+            fi = items[fin]
+            kf = kk[fin]
+            ent_off[fi] = rk[fin]
+            is3 = kf == 3
+            ent_run[fi[is3]] = rid_t3[wloc[fin][is3]]
+            for cls in (1, 2):
+                mc = np.flatnonzero(kf == cls)
+                if not mc.size:
+                    continue
+                _, _, pv_ = civ[cls]
+                wl_ = wloc[fin][mc]
+                ent_run[fi[mc]] = rid_t[wl_, cls, iv_t[fin][mc]]
+                ent_off[fi[mc]] = rk[fin][mc] - pv_[wl_, iv_t[fin][mc]]
+
+            nxt = kk == DEEP
+            items = items[nxt]
+            u = un[nxt]
+            sprev = sig_t[nxt]
+            wloc = wloc[nxt]
+            v_in = V >> 3
+            tier += 1
+        tier_plans.append(tuple(plans_j))
+        tier_geoms.append(tuple(geoms_j))
+
+    n_src = src_off
+    _tick("tiers")
+
+    # --- extraction: source-ascending run order for the span classes ----
+    all_src = np.concatenate(run_src) if run_src else np.zeros(0, np.int64)
+    all_len = np.concatenate(run_len) if run_len else np.zeros(0, np.int64)
+    ordc = np.argsort(all_src, kind="stable")
+    extract, dst_s = build_runcopy_plan(
+        all_src[ordc], all_len[ordc], n_src
+    )
+    dst = np.empty_like(dst_s)
+    dst[ordc] = dst_s
+    n_compact = int(extract.n_out)
+    asm_small = dst[ent_run[went]] + ent_off[went]
 
     _tick("extraction")
-    # --- fallback pool: fb rows' products + deep entries' partials -----
-    deep_ids = went[we_cls == DEEP]
+    # --- fallback pool: whole rows too heavy for the largest window -----
     fb_entry_ids = np.flatnonzero(win_of_entry < 0)
     fb_shuffle = None
     fb_levels = ()
     fb_lvl_idx = ()
     res_off_fb = 0
     slab_fb = None
-    if fb_entry_ids.size or deep_ids.size:
-        items = np.concatenate([fb_entry_ids, deep_ids])
-        item_lens = np.concatenate([lens[fb_entry_ids], units[deep_ids]])
-        ends_fb = np.cumsum(item_lens) - 1
-        p_total_fb = int(item_lens.sum())
+    if fb_entry_ids.size:
+        ends_fb = np.cumsum(lens[fb_entry_ids]) - 1
+        p_total_fb = int(lens[fb_entry_ids].sum())
         src_fb_prod = (exp_p[~sel] - fb_base).astype(np.int64)
-        if deep_ids.size:
-            dwin = win_of_entry[deep_ids]
-            stage_of_win = np.full(n_wins, -1, np.int64)
-            stage_of_win[deep_wins] = dst_deep - n_compact
-            dl = units[deep_ids]
-            dbase = (
-                fb_len + stage_of_win[dwin] + rank_of_entry[deep_ids]
-            )
-            cumd = np.concatenate([[0], np.cumsum(dl)[:-1]])
-            di = np.arange(int(dl.sum()), dtype=np.int64) - np.repeat(
-                cumd, dl
-            )
-            src_deep = np.repeat(dbase, dl) + di
-        else:
-            src_deep = np.zeros(0, np.int64)
-        src_pos_fb = np.concatenate([src_fb_prod, src_deep])
 
         fb_ae = np.flatnonzero(win_of_row[
             np.repeat(np.arange(m, dtype=np.int64), deg_a)
@@ -597,16 +777,9 @@ def build_window_structure(
         fb_interior = (
             run_start_ae[fb_ae[pr]] - fb_base + seg_len[fb_ae[pr]] + ki
         )
-        stage_used = np.zeros(staging_len, bool)
-        if deep_ids.size:
-            stage_used[src_deep - fb_len] = True
-        pool = np.concatenate([
-            fb_interior, fb_len + np.flatnonzero(~stage_used)
-        ])
-        src_len_fb = fb_len + staging_len
         slab_fb = _build_slab_structure(
-            ends_fb, p_total_fb, src_pos_fb, pool, src_len_fb, c_cap,
-            targets=items,
+            ends_fb, p_total_fb, src_fb_prod, fb_interior, fb_len, c_cap,
+            targets=fb_entry_ids,
         )
         fb_shuffle = build_shuffle_plan(slab_fb["src"])
         fb_levels = slab_fb["levels"]
@@ -618,7 +791,7 @@ def build_window_structure(
     n_res = n_compact + res_off_fb
     n_asm = max(n_res, c_cap)
     asm_src = np.full(n_asm, -1, np.int64)
-    asm_src[small_ids] = asm_small
+    asm_src[went] = asm_small
     if slab_fb is not None:
         asm_src[slab_fb["asm_entry"]] = n_compact + slab_fb["asm_pos"]
     assert (asm_src[:c_nnz] >= 0).all(), "uncovered output entry"
@@ -637,16 +810,17 @@ def build_window_structure(
             lens=lens, starts=starts, dst=dst, fb_base=fb_base,
             cnt_wc=cnt_wc, sigma_of_entry=sigma_of_entry,
             rank_of_entry=rank_of_entry, all_src=all_src,
-            all_len=all_len, n_comp_runs=n_comp_runs,
-            win_width=win_width,
+            all_len=all_len, win_width=win_width,
         )
     win = WindowStructure(
         benes=tuple(benes),
+        tiers=tuple(tier_plans),
         extract=extract,
         fb_shuffle=fb_shuffle,
         fb_lvl_idx=fb_lvl_idx,
         asm_shuffle=asm_shuffle,
         class_geom=tuple(class_geom),
+        tier_geom=tuple(tier_geoms),
         fb_levels=fb_levels,
         fb_off=int(fb_base),
         fb_len=int(fb_len),
@@ -657,8 +831,8 @@ def build_window_structure(
 
 def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     """Window-arena numeric phase (pure jit): expand -> per-window Benes
-    -> K-fold run-copy extraction -> fallback Clos + class reductions
-    -> assembly Clos."""
+    -> fold pyramid (+ radix-8 tiers for deep entries) -> run-copy
+    extraction -> fallback-row Clos + class reductions -> assembly Clos."""
     from nsparse_tpu.ops.kernels.piecewise import piecewise_expand
     from nsparse_tpu.ops.kernels.runcopy import runcopy
     from nsparse_tpu.ops.kernels.shuffle_pallas import (
@@ -669,7 +843,10 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
 
     w: WindowStructure = plan.win
     prod = piecewise_expand(plan.pw, a.val, b.val)
+    # parts order mirrors the host lvloff walk: every class's tier-1
+    # pyramid first, then each class's tier folds
     parts = []
+    curs = []
     for bp, (base, slots, width, levels) in zip(w.benes, w.class_geom):
         x = tile_benes_apply(bp, prod[base : base + slots])
         parts.append(x)
@@ -678,13 +855,25 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
             half = width >> k
             cur = cur[:, :half] + cur[:, half:]
             parts.append(cur.reshape(-1))
+        curs.append(cur)
+    for tps, tgs, cur in zip(w.tiers, w.tier_geom, curs):
+        for tp, (V, n_slots, n_pad) in zip(tps, tgs):
+            arena = jnp.concatenate(
+                [cur, jnp.zeros_like(cur)], axis=1
+            ).reshape(-1)
+            if n_pad > int(arena.shape[0]):
+                arena = jnp.pad(arena, (0, n_pad - int(arena.shape[0])))
+            tx = tile_benes_apply(tp, arena)[:n_slots]
+            cur = tx.reshape(-1, V)
+            for k in (1, 2, 3):
+                half = V >> k
+                cur = cur[:, :half] + cur[:, half:]
+                parts.append(cur.reshape(-1))
     src = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     ext = runcopy(w.extract, src)
     res = ext[: w.n_compact]
     if w.fb_shuffle is not None:
-        fb_in = jnp.concatenate(
-            [prod[w.fb_off : w.fb_off + w.fb_len], ext[w.n_compact :]]
-        )
+        fb_in = prod[w.fb_off : w.fb_off + w.fb_len]
         fbs = planned_shuffle(w.fb_shuffle, fb_in)
         fb_res = slab_class_reduce(fbs, w.fb_levels, w.fb_lvl_idx)
         res = jnp.concatenate([res, fb_res])

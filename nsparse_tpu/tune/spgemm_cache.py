@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 2  # v2: window-arena structures (win field, runcopy plans)
+PLAN_VERSION = 3  # v3: in-window radix-8 fold tiers (tiers/tier_geom)
 
 
 def _registry():

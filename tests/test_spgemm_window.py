@@ -43,23 +43,44 @@ def _check_window(a, b, **plan_kwargs):
 
 
 def test_window_path_rmat():
-    """Skewed graph: windows across several width classes + a fallback
-    pool for the heavy rows."""
+    """Skewed graph: windows across several width classes; deep entries
+    reduce in-window through the radix-8 fold tiers (no global pool)."""
     a = rmat_csr(9, edge_factor=8, dtype=np.float64, seed=4)
     plan = _check_window(a, a)
     w = plan.win
     assert len(w.class_geom) >= 2  # multiple width classes in play
-    assert w.fb_shuffle is not None  # deep entries exist on this graph
+    assert any(len(t) for t in w.tiers)  # deep entries -> tier folds
+    assert w.fb_shuffle is None  # no row outgrows the window ladder
 
 
 def test_window_path_uniform_no_fallback_rows():
     """A banded stencil product: every row fits the smallest windows (no
-    fallback ROWS); the 5-product center entries are single 8-fold
-    partials riding the pool as unit items."""
+    fallback ROWS); the 5-product center entries are level-3 singles
+    whose totals land directly at F3[sigma]."""
     a = stencil_csr(28, 28, dtype=np.float64)
     plan = _check_window(a, a)
     assert plan.win.fb_len == 0  # no row fell back
+    assert plan.win.fb_shuffle is None
     assert plan.win.n_compact > 0
+
+
+def test_window_path_deep_tiers():
+    """A dense block inside a sparse matrix: block entries have ~80
+    products each (ceil(80/8) = 10 L3 partials), driving the radix-8
+    recursion through tier 2 (10 > 8) into tier 3."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    m = 256
+    d = 80
+    dense = rng.standard_normal((d, d))
+    bg = sp.random(m, m, density=0.01, random_state=3, format="lil")
+    bg[:d, :d] = dense
+    a = CSR.from_scipy(sp.csr_matrix(bg).astype(np.float64))
+    plan = _check_window(a, a)
+    w = plan.win
+    assert any(len(t) >= 2 for t in w.tiers)  # tier-3 reached
+    assert w.fb_shuffle is None
 
 
 def test_window_path_tridiagonal_no_pool():
