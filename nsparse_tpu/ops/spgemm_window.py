@@ -67,7 +67,7 @@ def _cls_of(lens: np.ndarray) -> np.ndarray:
         np.where(lens <= 2, 1,
                  np.where(lens <= 4, 2,
                           np.where(lens <= 8, 3, DEEP))),
-    ).astype(np.int64)
+    ).astype(np.int8)
 
 
 def _take(starts_, lens_, need):
@@ -129,20 +129,26 @@ def _alloc_levels(width, c0, c1, c2, c3, uw):
         np.concatenate([rl1, rl1], axis=1),
     )
     a0, p0, _, _ = _take(s0, l0, c0)
-    return {0: (s0, a0, p0), 1: (s1, a1, p1), 2: (s2, a2, p2)}, g3, dstart
+    # int32 tables: the per-entry interval searches gather (n_entries, k)
+    # blocks from these — half the traffic of int64 on the 1-core host
+    c32 = lambda *xs: tuple(x.astype(np.int32) for x in xs)  # noqa: E731
+    return (
+        {0: c32(s0, a0, p0), 1: c32(s1, a1, p1), 2: c32(s2, a2, p2)},
+        g3.astype(np.int32), dstart.astype(np.int32),
+    )
 
 
 def _group_rank(keys_win, keys_cls, sizes):
     """Rank (size-weighted prefix) of each item within its (window,
     class) group, groups in input order (= entry id = C order)."""
     order = np.lexsort((keys_cls, keys_win))
-    gkey = keys_win[order] * 8 + keys_cls[order]
+    gkey = keys_win[order].astype(np.int64) * 8 + keys_cls[order]
     gfirst = np.flatnonzero(np.diff(np.concatenate([[-1], gkey])) != 0)
     gcounts = np.diff(np.concatenate([gfirst, [gkey.size]]))
     u_sorted = sizes[order]
-    ucum = np.cumsum(u_sorted) - u_sorted
+    ucum = np.cumsum(u_sorted, dtype=np.int64) - u_sorted
     rank_sorted = ucum - np.repeat(ucum[gfirst], gcounts)
-    rank = np.empty(keys_win.size, np.int64)
+    rank = np.empty(keys_win.size, np.int32)
     rank[order] = rank_sorted
     return rank
 
@@ -232,23 +238,33 @@ def build_window_structure(
 
     if not (p_total and c_nnz):
         return None
-    apos = np.asarray(apos, dtype=np.int64)
-    bpos = np.asarray(bpos, dtype=np.int64)
-    out_pos = np.asarray(out_pos, dtype=np.int64)
-    ends = np.asarray(ends[:c_nnz], dtype=np.int64)
+    # int32 everywhere on the per-product / per-slot axes: every hot pass
+    # below is memory-bound on a single host core, and all positions fit
+    # (expansion slots = p8 total + window padding stays < 2^31; guarded
+    # where fb_base is known)
+    if p_total >= (1 << 31) - 1:
+        raise ValueError("p_total exceeds int32 plan-build range")
+    apos = np.asarray(apos, dtype=np.int32)
+    bpos = np.asarray(bpos, dtype=np.int32)
+    out_pos = np.asarray(out_pos, dtype=np.int32)
+    ends = np.asarray(ends[:c_nnz], dtype=np.int32)
 
     # --- per-entry / per-row stats ------------------------------------
-    starts = np.concatenate([[0], ends[:-1] + 1])
+    starts = np.concatenate([np.zeros(1, np.int32), ends[:-1] + 1])
     lens = ends - starts + 1
+    _tick("stats/ends-lens")
     ecls = _cls_of(lens)
+    _tick("stats/cls")
     units = np.where(ecls == DEEP, -(-lens // 8), 1)  # deep: ceil(len/8)
     kfac_e = np.where(
-        ecls == DEEP, 8, np.array(CLS_K)[np.minimum(ecls, 3)]
+        ecls == DEEP, 8, np.array(CLS_K, np.int32)[np.minimum(ecls, 3)]
     )
     slot_cost = kfac_e * units                        # window slots used
+    _tick("stats/units")
     row_of_entry = np.repeat(
-        np.arange(m, dtype=np.int64), np.diff(c_rpt).astype(np.int64)
+        np.arange(m, dtype=np.int32), np.diff(c_rpt).astype(np.int64)
     )
+    _tick("stats/row-of-entry")
     seg_len = deg_b[col_a]                       # products per A entry
     seg8 = -(-seg_len // 8) * 8
     p8_row = np.bincount(
@@ -316,13 +332,15 @@ def build_window_structure(
         class_nw[j] = slots // W
         off += slots
     fb_base = off
+    if fb_base + int(p8_row[fb_rows].sum()) >= (1 << 31) - 1:
+        raise ValueError("expansion exceeds int32 plan-build range")
 
     win_base = []
     win_width = []
     win_class = []
     win_loc = []       # window index within its class (real windows)
     class_wid0 = {}    # first global window id of each class
-    win_of_row = np.full(m, -1, np.int64)
+    win_of_row = np.full(m, -1, np.int32)
     wid = 0
     for j in active:
         W = WIN_MIN << j
@@ -335,10 +353,10 @@ def build_window_structure(
             win_of_row[rows] = wid
             wid += 1
     n_wins = wid
-    win_base = np.asarray(win_base, np.int64)
-    win_width = np.asarray(win_width, np.int64)
-    win_class = np.asarray(win_class, np.int64)
-    win_loc = np.asarray(win_loc, np.int64)
+    win_base = np.asarray(win_base, np.int32)
+    win_width = np.asarray(win_width, np.int32)
+    win_class = np.asarray(win_class, np.int32)
+    win_loc = np.asarray(win_loc, np.int32)
 
     _tick("geometry")
     # --- expansion layout: run placement per A entry -------------------
@@ -431,8 +449,10 @@ def build_window_structure(
     went = np.flatnonzero(win_of_entry >= 0)
     we_win = win_of_entry[went]
     we_cls = ecls[went]
+    _tick("slab/went")
     cnt_wc = np.zeros((n_wins, 5), np.int64)
     np.add.at(cnt_wc, (we_win, we_cls), units[went])
+    _tick("slab/cnt")
     c0w = cnt_wc[:, 0]
     c1w = cnt_wc[:, 1]
     c2w = cnt_wc[:, 2]
@@ -444,14 +464,15 @@ def build_window_structure(
 
     # member rank within the (window, class) group
     rank_went = _group_rank(we_win, we_cls, units[went])
-    rank_of_entry = np.full(c_nnz, -1, np.int64)
+    rank_of_entry = np.full(c_nnz, -1, np.int32)
     rank_of_entry[went] = rank_went
+    _tick("slab/rank")
 
     # sigma + interval id per entry (rank mapped through the intervals):
     # pv_ rows are the ascending per-window allocation prefix, so the
     # interval id is one vectorized rank-vs-prefix comparison
-    sigma_of_entry = np.full(c_nnz, -1, np.int64)
-    iv_of_entry = np.full(c_nnz, -1, np.int64)
+    sigma_of_entry = np.full(c_nnz, -1, np.int32)
+    iv_of_entry = np.full(c_nnz, -1, np.int32)
     for cls in (0, 1, 2):
         ids = went[we_cls == cls]
         if not ids.size:
@@ -459,10 +480,11 @@ def build_window_structure(
         wv_ = win_of_entry[ids]
         rr = rank_of_entry[ids]
         st_, al_, pv_ = cls_ivs[cls]
-        iv = (rr[:, None] >= pv_[wv_]).sum(axis=1) - 1
+        iv = (rr[:, None] >= pv_[wv_]).sum(axis=1, dtype=np.int32) - 1
         iv = np.minimum(iv, st_.shape[1] - 1)
         sigma_of_entry[ids] = st_[wv_, iv] + rr - pv_[wv_, iv]
         iv_of_entry[ids] = iv
+    _tick("slab/ivs")
     ids3 = went[we_cls == 3]
     sigma_of_entry[ids3] = (
         g3w[win_of_entry[ids3]] + rank_of_entry[ids3]
@@ -477,37 +499,42 @@ def build_window_structure(
 
     _tick("slab-layout")
     # --- tier-1 Benes permutations per class ----------------------------
-    delta = run_start_ae - rpt_b[col_a]
+    delta = (run_start_ae - rpt_b[col_a]).astype(np.int32)
     exp_p = delta[apos] + bpos  # global expansion position per product
     k_p = out_pos
     sel = win_of_entry[k_p] >= 0
-    t_p = np.arange(p_total, dtype=np.int64) - starts[k_p]
+    t_p = np.arange(p_total, dtype=np.int32)
+    t_p -= starts[k_p]
     wv = np.maximum(win_of_entry[k_p], 0)
     cv = ecls[k_p]
     sig_p = sigma_of_entry[k_p]
     is_deep = cv == DEEP
+    _tick("benes/perm-gathers")
     # fold stride W >> level; deep: unit sigma + within-unit t, stride W/8
-    fold_stride = win_width[wv] >> np.minimum(cv, 3).astype(np.int64)
-    tt = np.where(is_deep, t_p % 8, t_p)
-    sig_full = np.where(is_deep, sig_p + t_p // 8, sig_p)
-    slot_p = win_base[wv] + sig_full + tt * fold_stride
+    fold_stride = win_width[wv] >> np.minimum(cv, np.int8(3))
+    tt = np.where(is_deep, t_p & 7, t_p)
+    sig_full = np.where(is_deep, sig_p + (t_p >> 3), sig_p)
+    slot_p = win_base[wv]
+    slot_p += sig_full
+    slot_p += tt * fold_stride
+    _tick("benes/perm-slots")
     perm = np.full(fb_base, -1, np.int32)
-    perm[slot_p[sel]] = exp_p[sel].astype(np.int32)
+    perm[slot_p[sel]] = exp_p[sel]
     used = np.zeros(fb_base, bool)
     used[exp_p[sel]] = True
     empty = np.flatnonzero(perm == -1)
     perm[empty] = np.flatnonzero(~used)  # per-window counts match
+    _tick("benes/perm-fill")
     benes = []
     class_geom = []
     lvl_need = {}
     for j in active:
         W = WIN_MIN << j
         base, slots = class_base[j], class_slots[j]
-        local = (
-            perm[base : base + slots].astype(np.int64) - base
-        ) % W
-        benes.append(build_tile_benes(local.astype(np.int32), W,
-                                      force=force))
+        local = (perm[base : base + slots] - np.int32(base)) % np.int32(W)
+        _tick(f"benes/local-W{W}")
+        benes.append(build_tile_benes(local, W, force=force))
+        _tick(f"benes/route-W{W}")
         wins_j = np.flatnonzero(win_class == j)
         lv = 0
         if np.any(c1w[wins_j] > 0):
@@ -530,8 +557,8 @@ def build_window_structure(
     run_src, run_len = [], []
     run_id = 0
     # per finished entry: run id + offset within the run
-    ent_run = np.full(c_nnz, -1, np.int64)
-    ent_off = np.zeros(c_nnz, np.int64)
+    ent_run = np.full(c_nnz, -1, np.int32)
+    ent_off = np.zeros(c_nnz, np.int32)
 
     def _emit(srcs, lens_, wins_sel, tab):
         """Append one run per selected window; record run ids in tab."""
@@ -593,6 +620,7 @@ def build_window_structure(
         )
     ent_run[ids3] = rid_c3[win_of_entry[ids3]]
     ent_off[ids3] = rank_of_entry[ids3]
+    _tick("ext-runs/tier1-tables")
 
     # tiers: per class, recurse on the deep items
     for (base, slots, W, lv), j in zip(class_geom, active):
@@ -616,8 +644,9 @@ def build_window_structure(
             # classify items by partial count
             kk = np.where(u <= 2, 1,
                           np.where(u <= 4, 2,
-                                   np.where(u <= 8, 3, DEEP)))
-            un = np.where(kk == DEEP, -(-u // 8), 1)
+                                   np.where(u <= 8, 3, DEEP))
+                          ).astype(np.int8)
+            un = np.where(kk == DEEP, -(-u // 8), 1).astype(np.int32)
             cnt = np.zeros((n_w_t, 5), np.int64)
             np.add.at(cnt, (wloc, kk), un)
             wv_t = np.full(n_w_t, V, np.int64)
@@ -626,14 +655,16 @@ def build_window_structure(
                 cnt[:, DEEP],
             )
             rk = _group_rank(wloc, kk, un)
-            sig_t = np.empty(items.size, np.int64)
-            iv_t = np.zeros(items.size, np.int64)
+            sig_t = np.empty(items.size, np.int32)
+            iv_t = np.zeros(items.size, np.int32)
             for cls in (1, 2):
                 m_ = np.flatnonzero(kk == cls)
                 if not m_.size:
                     continue
                 st_, al_, pv_ = civ[cls]
-                iv = (rk[m_][:, None] >= pv_[wloc[m_]]).sum(axis=1) - 1
+                iv = (rk[m_][:, None] >= pv_[wloc[m_]]).sum(
+                    axis=1, dtype=np.int32
+                ) - 1
                 iv = np.minimum(iv, st_.shape[1] - 1)
                 sig_t[m_] = st_[wloc[m_], iv] + rk[m_] - pv_[wloc[m_], iv]
                 iv_t[m_] = iv
@@ -644,51 +675,57 @@ def build_window_structure(
 
             # permutation: partial s of item i -> its footprint slot
             nper = u
-            ii = np.repeat(np.arange(items.size, dtype=np.int64), nper)
-            cumn = np.concatenate([[0], np.cumsum(nper)[:-1]])
-            s = np.arange(int(nper.sum()), dtype=np.int64) - np.repeat(
+            ii = np.repeat(np.arange(items.size, dtype=np.int32), nper)
+            cumn = np.concatenate(
+                [np.zeros(1, np.int32),
+                 np.cumsum(nper, dtype=np.int32)[:-1]]
+            )
+            s = np.arange(int(nper.sum()), dtype=np.int32) - np.repeat(
                 cumn, nper
             )
             kki = kk[ii]
-            stride = V >> np.minimum(kki, 3)
-            tts = np.where(kki == DEEP, s % 8, s)
-            sgf = np.where(kki == DEEP, sig_t[ii] + s // 8, sig_t[ii])
-            dstp = wloc[ii] * V + sgf + tts * stride
-            srcp = wloc[ii] * V + sprev[ii] + s
+            stride = np.int32(V) >> np.minimum(kki, 3).astype(np.int32)
+            tts = np.where(kki == DEEP, s & 7, s)
+            sgf = np.where(kki == DEEP, sig_t[ii] + (s >> 3), sig_t[ii])
+            dstp = wloc[ii] * np.int32(V) + sgf + tts * stride
+            srcp = wloc[ii] * np.int32(V) + sprev[ii] + s
             # footprint tails (slots beyond u) read the ZERO half
             fsz = np.where(kk == DEEP, 8 * un, 1 << np.minimum(kk, 3))
             tail = fsz - u
-            ti = np.repeat(np.arange(items.size, dtype=np.int64), tail)
-            cumt = np.concatenate([[0], np.cumsum(tail)[:-1]])
+            ti = np.repeat(np.arange(items.size, dtype=np.int32), tail)
+            cumt = np.concatenate(
+                [np.zeros(1, np.int32),
+                 np.cumsum(tail, dtype=np.int32)[:-1]]
+            )
             st2 = u[ti] + (
-                np.arange(int(tail.sum()), dtype=np.int64)
+                np.arange(int(tail.sum()), dtype=np.int32)
                 - np.repeat(cumt, tail)
             )
             kkt = kk[ti]
-            stridet = V >> np.minimum(kkt, 3)
-            ttt = np.where(kkt == DEEP, st2 % 8, st2)
-            sgt = np.where(kkt == DEEP, sig_t[ti] + st2 // 8, sig_t[ti])
-            dstt_p = wloc[ti] * V + sgt + ttt * stridet
+            stridet = np.int32(V) >> np.minimum(kkt, 3).astype(np.int32)
+            ttt = np.where(kkt == DEEP, st2 & 7, st2)
+            sgt = np.where(kkt == DEEP, sig_t[ti] + (st2 >> 3), sig_t[ti])
+            dstt_p = wloc[ti] * np.int32(V) + sgt + ttt * stridet
             # zero-half sources: per window, sequential from V/2
             zrank = _group_rank(
-                wloc[ti], np.zeros(ti.size, np.int64),
-                np.ones(ti.size, np.int64),
+                wloc[ti], np.zeros(ti.size, np.int8),
+                np.ones(ti.size, np.int32),
             )
-            srct_p = wloc[ti] * V + v_in + zrank
+            srct_p = wloc[ti] * np.int32(V) + np.int32(v_in) + zrank
             permt = np.full(n_pad, -1, np.int32)
-            permt[dstp] = srcp.astype(np.int32)
-            permt[dstt_p] = srct_p.astype(np.int32)
+            permt[dstp] = srcp
+            permt[dstt_p] = srct_p
             usedt = np.zeros(n_pad, bool)
             usedt[srcp] = True
             usedt[srct_p] = True
             emptyt = np.flatnonzero(permt == -1)
             permt[emptyt] = np.flatnonzero(~usedt)
             # tile-local indices (windows nest within tiles)
-            tb = (np.arange(n_pad, dtype=np.int64) // tile_w) * tile_w
-            local = (permt.astype(np.int64) - tb) % tile_w
-            plans_j.append(build_tile_benes(
-                local.astype(np.int32), tile_w, force=force
-            ))
+            tb = (np.arange(n_pad, dtype=np.int32) // tile_w) * tile_w
+            local = (permt - tb) % np.int32(tile_w)
+            _tick(f"tiers/perm-V{V}")
+            plans_j.append(build_tile_benes(local, tile_w, force=force))
+            _tick(f"tiers/route-V{V}")
             geoms_j.append((int(V), int(n_slots), int(n_pad)))
 
             # parts offsets + extraction runs for levels 1..3
@@ -749,7 +786,7 @@ def build_window_structure(
     extract, dst_s = build_runcopy_plan(
         all_src[ordc], all_len[ordc], n_src
     )
-    dst = np.empty_like(dst_s)
+    dst = np.empty(dst_s.size, np.int32)
     dst[ordc] = dst_s
     n_compact = int(extract.n_out)
     asm_small = dst[ent_run[went]] + ent_off[went]
@@ -790,7 +827,7 @@ def build_window_structure(
     # --- assembly permutation ------------------------------------------
     n_res = n_compact + res_off_fb
     n_asm = max(n_res, c_cap)
-    asm_src = np.full(n_asm, -1, np.int64)
+    asm_src = np.full(n_asm, -1, np.int32)
     asm_src[went] = asm_small
     if slab_fb is not None:
         asm_src[slab_fb["asm_entry"]] = n_compact + slab_fb["asm_pos"]
@@ -799,7 +836,9 @@ def build_window_structure(
     used[asm_src[:c_nnz]] = True
     rest = np.flatnonzero(asm_src == -1)
     asm_src[rest] = np.flatnonzero(~used)[: rest.size]
-    asm_shuffle = build_shuffle_plan(asm_src.astype(np.int32))
+    _tick("asm/src-build")
+    asm_shuffle = build_shuffle_plan(asm_src)
+    _tick("asm/clos+benes")
 
     _tick("asm-route")
     if os.environ.get("NSPARSE_WIN_DEBUG"):
@@ -810,7 +849,7 @@ def build_window_structure(
             lens=lens, starts=starts, dst=dst, fb_base=fb_base,
             cnt_wc=cnt_wc, sigma_of_entry=sigma_of_entry,
             rank_of_entry=rank_of_entry, all_src=all_src,
-            all_len=all_len, win_width=win_width,
+            all_len=all_len, win_width=win_width, asm_src=asm_src,
         )
     win = WindowStructure(
         benes=tuple(benes),
