@@ -31,6 +31,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -48,21 +52,21 @@ namespace {
 // common case for slack/padding regions.
 // ---------------------------------------------------------------------------
 
-// W <= 65536 always (the 31-mask-bit cap), so wire ids fit uint16: the
-// tile-local scratch halves to <= 128 KB for the widest tiles and the
-// common Cs=2048 tiles are L1-resident — the routing walk is dependent
-// random loads, so footprint is the whole cost.
+// int32 scratch: AVX-512 gather/scatter only exists at 32/64-bit lanes,
+// and the SIMD passes over inv/nxt/emission win far more than the uint16
+// footprint saved (W=2048 tiles are 32 KB of scratch — still L1; the
+// visited flag rides bit 31 of nxt, so no separate vis array).
 struct BenesScratch {
-  std::vector<uint16_t> perm, nperm, inv, nxt;
-  std::vector<int8_t> vis;
+  std::vector<int32_t> perm, nperm, inv, nxt;
   void resize(int64_t W) {
     perm.resize(W);
     nperm.resize(W);
     inv.resize(W);
     nxt.resize(W);
-    vis.resize(W);
   }
 };
+
+constexpr uint32_t kVis = 0x80000000u;
 
 // Flat-position transform of the 128x128 block transpose
 // (N/16384, 128, 128).transpose(0, 2, 1): the device's transposed-middle
@@ -84,13 +88,24 @@ inline int64_t trans128(int64_t p) {
 // produces the device's (outer, transposed-middle) mask pair directly,
 // replacing a 2-pass numpy split + strided transpose per stage.
 // split_k == 0 (mask_t == nullptr): classic single-array emission.
+#if defined(__AVX512F__)
+// 16-lane flat-position transform of the 128x128 block transpose.
+inline __m512i trans128_v(__m512i p) {
+  const __m512i lo7 = _mm512_set1_epi32(127);
+  const __m512i hi = _mm512_andnot_si512(_mm512_set1_epi32(16383), p);
+  const __m512i a = _mm512_slli_epi32(_mm512_and_si512(p, lo7), 7);
+  const __m512i b =
+      _mm512_and_si512(_mm512_srli_epi32(p, 7), lo7);
+  return _mm512_or_si512(hi, _mm512_or_si512(a, b));
+}
+#endif
+
 void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
                      int64_t gbase, int32_t* mask, int32_t* mask_t,
                      int split_k, BenesScratch& S) {
-  uint16_t* pm_lvl = S.perm.data();
-  uint16_t* np_lvl = S.nperm.data();
-  for (int64_t i = 0; i < W; ++i)
-    pm_lvl[i] = static_cast<uint16_t>(perm_in[i]);
+  int32_t* pm_lvl = S.perm.data();
+  int32_t* np_lvl = S.nperm.data();
+  std::memcpy(pm_lvl, perm_in, sizeof(int32_t) * W);
   for (int level = 0;; ++level) {
     const int64_t n = W >> level;
     if (n < 2) break;
@@ -103,15 +118,22 @@ void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
     int32_t* dst = to_mid ? mask_t : mask;
     const bool last_level = (n >> 1) < 2;
     for (int64_t off = 0; off < W; off += n) {
-      uint16_t* pm = pm_lvl + off;
-      uint16_t* np = np_lvl + off;
-      // identity fast path (slack / padding): children need LOCAL values
+      int32_t* pm = pm_lvl + off;
+      int32_t* np = np_lvl + off;
+      // identity fast path (slack / padding): children need LOCAL values.
+      // Chunked early exit: a non-identity tile bails within 256 slots
+      // instead of scanning all n.
       bool ident = true;
-      for (int64_t i = 0; i < n; ++i) ident &= (pm[i] == i);
+      for (int64_t c = 0; c < n && ident; c += 256) {
+        const int64_t e = c + 256 < n ? c + 256 : n;
+        bool blk = true;
+        for (int64_t i = c; i < e; ++i) blk &= (pm[i] == i);
+        ident = blk;
+      }
       if (ident) {
         if (!last_level)
           for (int64_t i = 0; i < n; ++i)
-            np[i] = static_cast<uint16_t>(i & (h - 1));
+            np[i] = static_cast<int32_t>(i & (h - 1));
         continue;
       }
       if (n == 2) {
@@ -127,63 +149,115 @@ void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
         }
         continue;
       }
-      uint16_t* inv = S.inv.data();
-      uint16_t* nxt = S.nxt.data();
-      for (int64_t i = 0; i < n; ++i) inv[pm[i]] = static_cast<uint16_t>(i);
+      int32_t* inv = S.inv.data();
+      int32_t* nxt = S.nxt.data();
+      const int64_t gp = gbase + off;
+#if defined(__AVX512F__)
+      if (n >= 64) {
+        const __m512i vh = _mm512_set1_epi32(static_cast<int32_t>(h));
+        const __m512i lane =
+            _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                              13, 14, 15);
+        // inv[pm[i]] = i ; nxt[i] = inv[pm[i] ^ h] ^ h  (two passes; the
+        // second's gather needs the full inv)
+        for (int64_t i = 0; i < n; i += 16) {
+          const __m512i vp = _mm512_loadu_si512(pm + i);
+          const __m512i vi =
+              _mm512_add_epi32(lane, _mm512_set1_epi32((int32_t)i));
+          _mm512_i32scatter_epi32(inv, vp, vi, 4);
+        }
+        for (int64_t i = 0; i < n; i += 16) {
+          const __m512i vp = _mm512_loadu_si512(pm + i);
+          const __m512i vx = _mm512_xor_si512(vp, vh);
+          const __m512i g = _mm512_i32gather_epi32(vx, inv, 4);
+          _mm512_storeu_si512(nxt + i, _mm512_xor_si512(g, vh));
+        }
+        // serial cycle walk; visited flag rides bit 31 of nxt
+        for (int64_t s = 0; s < n; ++s) {
+          if ((uint32_t)(nxt[s] | nxt[s ^ h]) & kVis) continue;
+          int64_t i = s;
+          do {
+            const uint32_t nx = (uint32_t)nxt[i];
+            nxt[i] = (int32_t)(nx | kVis);
+            i = nx & 0x7fffffffu;
+          } while (i != s);
+        }
+        // vectorized emission: per 16 lanes, two bijective
+        // gather-or-scatter chains + the middle sub-perm scatter
+        const __m512i vgp = _mm512_set1_epi32((int32_t)gp);
+        const __m512i vh1 = _mm512_set1_epi32((int32_t)(h - 1));
+        const __m512i one = _mm512_set1_epi32(1);
+        const int lh = __builtin_ctzll((uint64_t)h);
+        for (int64_t i = 0; i < n; i += 16) {
+          const __m512i vi =
+              _mm512_add_epi32(lane, _mm512_set1_epi32((int32_t)i));
+          const __m512i vj = _mm512_loadu_si512(pm + i);
+          const __m512i vn = _mm512_loadu_si512(nxt + i);
+          const __m512i ho = _mm512_xor_si512(
+              _mm512_srli_epi32(vn, 31), one);
+          const __m512i ci = _mm512_xor_si512(
+              _mm512_and_si512(_mm512_srli_epi32(vi, lh), one), ho);
+          const __m512i cj = _mm512_xor_si512(
+              _mm512_and_si512(_mm512_srli_epi32(vj, lh), one), ho);
+          __m512i p1 = _mm512_add_epi32(vgp, vi);
+          __m512i p2 = _mm512_add_epi32(vgp, vj);
+          if (to_mid) {
+            p1 = trans128_v(p1);
+            p2 = trans128_v(p2);
+          }
+          __m512i x = _mm512_i32gather_epi32(p1, dst, 4);
+          x = _mm512_or_si512(x, _mm512_slli_epi32(ci, t_out));
+          _mm512_i32scatter_epi32(dst, p1, x, 4);
+          __m512i y = _mm512_i32gather_epi32(p2, dst, 4);
+          y = _mm512_or_si512(y, _mm512_slli_epi32(cj, t_in));
+          _mm512_i32scatter_epi32(dst, p2, y, 4);
+          // np[ho * h + (i & (h-1))] = j & (h-1); h >= 32 here, so the
+          // 16 destinations are distinct within the vector
+          const __m512i nip = _mm512_add_epi32(
+              _mm512_slli_epi32(ho, lh), _mm512_and_si512(vi, vh1));
+          _mm512_i32scatter_epi32(np, nip,
+                                  _mm512_and_si512(vj, vh1), 4);
+        }
+        continue;
+      }
+#endif
+      for (int64_t i = 0; i < n; ++i) inv[pm[i]] = static_cast<int32_t>(i);
       for (int64_t i = 0; i < n; ++i)
-        nxt[i] = inv[pm[i] ^ h] ^ static_cast<uint16_t>(h);
-      // cycle walk; visited flag rides nxt's high bit when values fit 15
-      // bits (n <= 32768) — saves the vis array's memset + traffic.  The
-      // n == 65536 level (only the top of a W=65536 tile) keeps vis.
-      int8_t* vis = nullptr;
-      if (n <= 32768) {
-        for (int64_t s = 0; s < n; ++s) {
-          if ((nxt[s] | nxt[s ^ h]) & 0x8000u) continue;
-          uint16_t i = static_cast<uint16_t>(s);
-          do {
-            const uint16_t nx = nxt[i];
-            nxt[i] = nx | 0x8000u;
-            i = static_cast<uint16_t>(nx & 0x7fffu);
-          } while (i != s);
-        }
-      } else {
-        vis = S.vis.data();
-        std::memset(vis, 0, n);
-        for (int64_t s = 0; s < n; ++s) {
-          if (vis[s] | vis[s ^ h]) continue;
-          uint16_t i = static_cast<uint16_t>(s);
-          do {
-            vis[i] = 1;
-            i = nxt[i];
-          } while (i != s);
-        }
+        nxt[i] = inv[pm[i] ^ h] ^ static_cast<int32_t>(h);
+      for (int64_t s = 0; s < n; ++s) {
+        if ((uint32_t)(nxt[s] | nxt[s ^ h]) & kVis) continue;
+        int64_t i = s;
+        do {
+          const uint32_t nx = (uint32_t)nxt[i];
+          nxt[i] = (int32_t)(nx | kVis);
+          i = nx & 0x7fffffffu;
+        } while (i != s);
       }
       // masks + middle sub-perms; color(i) = 0 iff its cycle was walked.
       // Branchless emission: the swap conditions are ~coin flips, so the
       // mispredict cost of conditional stores dwarfs an unconditional RMW
       // of a possibly-zero bit.
-      const int64_t gp = gbase + off;
       if (to_mid) {
         for (int64_t i = 0; i < n; ++i) {
-          const uint32_t ho = (vis ? vis[i] : (nxt[i] >> 15)) ^ 1u;
+          const uint32_t ho = ((uint32_t)nxt[i] >> 31) ^ 1u;
           const int64_t j = pm[i];
           const uint32_t ci = (i >= h ? 1u : 0u) ^ ho;
           const uint32_t cj = (j >= h ? 1u : 0u) ^ ho;
           dst[trans128(gp + i)] |= (ci << t_out);
           dst[trans128(gp + j)] |= (cj << t_in);
           np[static_cast<int64_t>(ho) * h + (i & (h - 1))] =
-              static_cast<uint16_t>(j & (h - 1));
+              static_cast<int32_t>(j & (h - 1));
         }
       } else {
         for (int64_t i = 0; i < n; ++i) {
-          const uint32_t ho = (vis ? vis[i] : (nxt[i] >> 15)) ^ 1u;
+          const uint32_t ho = ((uint32_t)nxt[i] >> 31) ^ 1u;
           const int64_t j = pm[i];
           const uint32_t ci = (i >= h ? 1u : 0u) ^ ho;
           const uint32_t cj = (j >= h ? 1u : 0u) ^ ho;
           dst[gp + i] |= (ci << t_out);
           dst[gp + j] |= (cj << t_in);
           np[static_cast<int64_t>(ho) * h + (i & (h - 1))] =
-              static_cast<uint16_t>(j & (h - 1));
+              static_cast<int32_t>(j & (h - 1));
         }
       }
     }
