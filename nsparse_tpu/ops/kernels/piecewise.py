@@ -179,8 +179,18 @@ def build_piecewise_plan(
     n_super = n_sub // SUB
     jmax = count.reshape(n_super, SUB).max(axis=1)
 
+    # fully-dead supertiles (every covering run is the zero-a.val gap/pad
+    # run) write zeros onto the pre-zeroed arena: skip their grid steps
+    # entirely (~15-25% of window-arena slots are gap slack)
+    live_run = run_aidx != nnz_a
+    pref = np.concatenate([[0], np.cumsum(live_run)])
+    lo = np.maximum(first, 0)
+    hi = np.minimum(first + count, n_runs)
+    sub_live = pref[np.maximum(hi, lo)] - pref[lo] > 0
+    live_super = sub_live.reshape(n_super, SUB).any(axis=1)
+
     ids, cuts_l, boffs_l, aidx_l = [], [], [], []
-    assigned = np.zeros(n_super, dtype=bool)
+    assigned = ~live_super
     for J in J_CLASSES:
         ok = (~assigned) & (jmax <= J)
         assigned |= ok

@@ -531,7 +531,11 @@ def build_window_structure(
     for j in active:
         W = WIN_MIN << j
         base, slots = class_base[j], class_slots[j]
-        local = (perm[base : base + slots] - np.int32(base)) % np.int32(W)
+        # sources stay inside their window, so the window-local index is a
+        # pow2 mask of the class-local position (no modulo)
+        local = (perm[base : base + slots] - np.int32(base)) & np.int32(
+            W - 1
+        )
         _tick(f"benes/local-W{W}")
         benes.append(build_tile_benes(local, W, force=force))
         _tick(f"benes/route-W{W}")
@@ -720,9 +724,9 @@ def build_window_structure(
             usedt[srct_p] = True
             emptyt = np.flatnonzero(permt == -1)
             permt[emptyt] = np.flatnonzero(~usedt)
-            # tile-local indices (windows nest within tiles)
-            tb = (np.arange(n_pad, dtype=np.int32) // tile_w) * tile_w
-            local = (permt - tb) % np.int32(tile_w)
+            # tile-local indices (windows nest within tiles, so the
+            # source never leaves its tile: pow2 mask, no modulo)
+            local = permt & np.int32(tile_w - 1)
             _tick(f"tiers/perm-V{V}")
             plans_j.append(build_tile_benes(local, tile_w, force=force))
             _tick(f"tiers/route-V{V}")

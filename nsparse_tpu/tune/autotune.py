@@ -15,6 +15,7 @@ performance.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Iterable, Optional, Sequence, Tuple
 
 import jax
@@ -123,6 +124,7 @@ def autotune_spmv(
     trials: int = 5,
     max_bytes_ratio: Optional[float] = None,
     cache_dir: Optional[str] = None,
+    deadline: Optional[float] = None,
 ):
     """Pick the fastest SpMV format for ``a``.
 
@@ -153,6 +155,14 @@ def autotune_spmv(
     )
     best_fmt, best_plan, best_score = None, None, float("inf")
     for plan in (candidates or default_candidates(a)):
+        if deadline is not None and time.time() > deadline and (
+            best_plan is not None
+        ):
+            # budget exhausted: keep the best candidate measured so far
+            # (the reference's AT loop is similarly free to stop early;
+            # a deadline-starved sweep must still return something usable)
+            _log_drop(plan, "deadline", "autotune budget exhausted")
+            continue
         try:
             fmt = _build(a, plan)
         except Exception as e:
