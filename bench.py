@@ -114,6 +114,9 @@ def main():
     # tunnel-attached chip); every later pull is then fast.
     log("handshake: first device->host pull")
     float(jnp.sum(jnp.zeros(8)))
+    # also warm host->device: the first large push crawls at ~7 MB/s vs
+    # ~50 MB/s steady state, and the ESC plan ships tens of MB of routing
+    jnp.asarray(np.zeros(1 << 24, np.int32)).block_until_ready()
     STATE["handshake_s"] = round(time.time() - T0, 1)
     log(f"handshake done in {STATE['handshake_s']}s "
         f"({DEADLINE_S - (time.time() - T0):.0f}s budget left)")

@@ -306,6 +306,53 @@ def gather_subset_band(src2, ids, bases, idx, other, out, band: int):
     )
 
 
+def gather_tiles8(
+    src: jax.Array, tile_ids: jax.Array, n_out_tiles: int,
+    tile_rows: int = 8,
+) -> jax.Array:
+    """out tile i = src tile ``tile_ids[i]`` — a tile-granular gather that
+    moves 8 tiles per grid step (8 scalar-prefetch-indexed input blocks,
+    one contiguous 8-tile output block), so it runs at DMA speed
+    (~354 GB/s measured at 25M f32) instead of one grid step per tile.
+
+    Used to reorder the piecewise expansion's class-compact output into
+    arena order.  ``n_out_tiles`` must be a multiple of 8.
+    """
+    G = 8
+    assert n_out_tiles % G == 0
+
+    def kern(ids_r, *refs):
+        del ids_r
+        out_r = refs[G]
+        for k in range(G):
+            out_r[pl.ds(k * tile_rows, tile_rows), :] = refs[k][:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_out_tiles // G,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, LANES),
+                (lambda i, ids, k=k: (ids[i * G + k], 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for k in range(G)
+        ],
+        out_specs=pl.BlockSpec(
+            (G * tile_rows, LANES), lambda i, ids: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out_tiles * tile_rows, LANES), src.dtype
+        ),
+        interpret=_interpret(),
+    )(tile_ids, *([src] * G))
+
+
 def scatter_tiles(
     dst: jax.Array, tile_ids: jax.Array, vals: jax.Array, tile_rows: int = 8
 ) -> jax.Array:

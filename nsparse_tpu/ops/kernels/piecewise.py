@@ -46,7 +46,7 @@ from nsparse_tpu.ops.kernels.gather_pallas import (
 
 SUB = 8                      # subtiles per grid step (grid-step amortization)
 SUPER = SUB * TILE           # products per supertile
-J_CLASSES = (8, 16, 32, 64, 128)  # piece budgets (supertile max runs/subtile)
+J_CLASSES = (2, 4, 8, 16, 32, 64, 128)  # per-subtile piece budgets
 BIAS = 2048                  # zero rows prepended to the B table (neg offsets)
 SRC_ROWS = 16                # sublane rows per piece slice (1024 + align span)
 BANK_K = 16                  # pre-rolled bank copies (8-aligned mode)
@@ -68,8 +68,9 @@ class PiecewisePlan:
     b.val[bp(p)]`` (zero beyond ``n``).
 
     Attributes:
-      ids: per class, supertile indices (units of SUPER products).
-      cuts: per class, (n_super * SUB * J,) int32 — piece start positions
+      ids: per class, (n_groups * SUB,) int32 arena-subtile ids, grouped
+        SUB per grid step (-1 = group pad: inert descriptors, zero tile).
+      cuts: per class, (n_groups * SUB * J,) int32 — piece start positions
         within each subtile (TILE sentinel = inert piece).
       boffs: per class, flat B-table offsets biased so that the in-kernel
         source index is ``boff + local_pos`` (>= 0 by the BIAS rows).
@@ -94,6 +95,7 @@ class PiecewisePlan:
     fb_bidx: jax.Array
     fb_aidx: jax.Array
     b8_gp: object  # aligned mode: planned gather b.val -> 8-aligned table
+    arena_src: jax.Array  # (n_pad/TILE,) compact tile per arena tile
     n: int = dataclasses.field(metadata=dict(static=True))
     n_pad: int = dataclasses.field(metadata=dict(static=True))
     nnz_a: int = dataclasses.field(metadata=dict(static=True))
@@ -113,7 +115,7 @@ class PiecewisePlan:
         t = max(self.n_pad // TILE, 1)
         out = {}
         for j, i in zip(J_CLASSES, self.ids):
-            out[f"pw{j}"] = int(i.shape[0]) * SUB / t
+            out[f"pw{j}"] = int((np.asarray(i) >= 0).sum()) / t
         out["fallback"] = int(self.fb_ids.shape[0]) / t
         return out
 
@@ -144,6 +146,17 @@ def build_piecewise_plan(
     vreg on this VPU; sublane slices are free).
     """
     from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
+
+    import os as _os
+    import time as _time
+
+    _t0 = [_time.time()]
+
+    def _tick(stage):
+        if _os.environ.get("NSPARSE_WIN_TIMING"):
+            now = _time.time()
+            print(f"[pwplan] {stage}: {now - _t0[0]:.2f}s", flush=True)
+            _t0[0] = now
 
     run_start = np.asarray(run_start, dtype=np.int64)
     run_boff = np.asarray(run_boff, dtype=np.int64)
@@ -176,40 +189,54 @@ def build_piecewise_plan(
     at_base[rb] = True
     count = starts_in + (~at_base).astype(np.int64)
 
-    n_super = n_sub // SUB
-    jmax = count.reshape(n_super, SUB).max(axis=1)
-
-    # fully-dead supertiles (every covering run is the zero-a.val gap/pad
-    # run) write zeros onto the pre-zeroed arena: skip their grid steps
-    # entirely (~15-25% of window-arena slots are gap slack)
+    # dead subtiles (every covering run is the zero-a.val gap/pad run)
+    # produce exact zeros: they get no class and route to the compact
+    # buffer's trailing zero tile (~15-25% of window-arena slots are slack)
     live_run = run_aidx != nnz_a
     pref = np.concatenate([[0], np.cumsum(live_run)])
     lo = np.maximum(first, 0)
     hi = np.minimum(first + count, n_runs)
     sub_live = pref[np.maximum(hi, lo)] - pref[lo] > 0
-    live_super = sub_live.reshape(n_super, SUB).any(axis=1)
+
+    # subtile-granular classing: each live subtile pays its OWN pow2 piece
+    # budget, not the max over its supertile (2.9x fewer piece-slots on
+    # R-MAT-14); groups of SUB same-class subtiles share a grid step, the
+    # kernel writes the compact class-major buffer, and one tile-gather
+    # pass (gather_tiles8, ~0.6 ms at 25M) restores arena order
+    cls_of = np.full(n_sub, -1, np.int64)
+    for ci, J in enumerate(J_CLASSES):
+        m = sub_live & (cls_of < 0) & (count <= J)
+        cls_of[m] = ci
+    _tick("classing")
 
     ids, cuts_l, boffs_l, aidx_l = [], [], [], []
-    assigned = ~live_super
-    for J in J_CLASSES:
-        ok = (~assigned) & (jmax <= J)
-        assigned |= ok
-        sids = np.nonzero(ok)[0].astype(np.int32)
-        ids.append(jnp.asarray(sids))
-        if not sids.size:
+    cpos_of = np.full(n_sub, -1, np.int64)  # compact tile index
+    cbase = 0
+    for ci, J in enumerate(J_CLASSES):
+        subs = np.flatnonzero(cls_of == ci).astype(np.int64)
+        n_g = -(-subs.size // SUB)
+        padded = np.full(n_g * SUB, -1, np.int64)
+        padded[: subs.size] = subs
+        ids.append(jnp.asarray(padded.astype(np.int32)))
+        if not subs.size:
             cuts_l.append(jnp.zeros((0,), jnp.int32))
             boffs_l.append(jnp.zeros((0,), jnp.int32))
             aidx_l.append(jnp.zeros((0,), jnp.int32))
             continue
-        subs = (
-            sids[:, None].astype(np.int64) * SUB + np.arange(SUB)[None, :]
-        ).reshape(-1)
-        # runs first[t] + k, valid while k < count[t]
+        cpos_of[subs] = cbase + np.arange(subs.size)
+        cbase += n_g * SUB
+        sc = np.maximum(padded, 0)
+        # runs first[t] + k, valid while k < count[t]; group-pad subtiles
+        # (padded < 0) carry only inert pieces (cut == TILE -> acc 0)
         k = np.arange(J, dtype=np.int64)
-        r = first[subs][:, None] + k[None, :]
-        valid = (k[None, :] < count[subs][:, None]) & (r < n_runs)
+        r = first[sc][:, None] + k[None, :]
+        valid = (
+            (k[None, :] < count[sc][:, None])
+            & (r < n_runs)
+            & (padded >= 0)[:, None]
+        )
         rc = np.minimum(r, n_runs - 1)
-        base = sub_base[subs][:, None]
+        base = sub_base[sc][:, None]
         cut = np.where(valid, np.maximum(run_start[rc] - base, 0), TILE)
         eff = run_boff[rc] - run_start[rc] + base + BIAS
         if aligned:
@@ -230,13 +257,16 @@ def build_piecewise_plan(
         ai = np.where(last >= 0, ai, 0)
         cuts_l.append(jnp.asarray(cut.reshape(-1).astype(np.int32)))
         boffs_l.append(jnp.asarray(boff.reshape(-1).astype(np.int32)))
-        aidx_l.append(jnp.asarray(ai.astype(np.int32)))
+        aidx_l.append(ai.astype(np.int32))
+        _tick(f"class-J{J}")
 
-    # fallback: subtiles inside unassigned supertiles -> element indices
-    fb_super = np.nonzero(~assigned)[0]
-    fb_subs = (
-        fb_super[:, None] * SUB + np.arange(SUB)[None, :]
-    ).reshape(-1).astype(np.int64)
+    # arena tile -> compact tile (sentinel: the trailing zero tile, which
+    # no class grid ever writes — dead subtiles and fallback subtiles,
+    # the latter patched in by scatter_tiles afterwards)
+    arena_src = np.where(cpos_of >= 0, cpos_of, cbase).astype(np.int32)
+
+    # fallback: live subtiles denser than the largest budget -> elements
+    fb_subs = np.flatnonzero(sub_live & (cls_of < 0)).astype(np.int64)
     if fb_subs.size:
         pos = (fb_subs[:, None] * TILE + np.arange(TILE)[None, :]).reshape(-1)
         ridx = np.searchsorted(run_start, pos, side="right") - 1
@@ -249,20 +279,23 @@ def build_piecewise_plan(
         fb_bidx = np.zeros(0, np.int32)
         fb_aidx = np.zeros(0, np.int32)
 
+    _tick("fallback")
     # one planned gather covers every class's per-piece A values
     aidx_cat = (
-        np.concatenate([np.asarray(a) for a in aidx_l])
-        if aidx_l else np.zeros(0, np.int64)
+        np.concatenate(aidx_l) if aidx_l else np.zeros(0, np.int32)
     )
     splits, off = [], 0
     for a in aidx_l:
-        splits.append((off, off + int(np.asarray(a).size)))
-        off += int(np.asarray(a).size)
+        splits.append((off, off + int(a.size)))
+        off += int(a.size)
+    _tick("aidx-cat")
     apv_gp = build_flat_gather_plan(aidx_cat.astype(np.int32))
+    _tick("apv-gp")
     b8_gp = (
         build_flat_gather_plan(np.asarray(b8_idx, dtype=np.int32))
         if aligned else None
     )
+    _tick("b8-gp")
 
     return PiecewisePlan(
         ids=tuple(ids),
@@ -274,6 +307,7 @@ def build_piecewise_plan(
         fb_bidx=jnp.asarray(fb_bidx),
         fb_aidx=jnp.asarray(fb_aidx),
         b8_gp=b8_gp,
+        arena_src=jnp.asarray(arena_src),
         n=n,
         n_pad=n_pad,
         nnz_a=nnz_a,
@@ -313,13 +347,19 @@ def _make_pw_kern(j_budget: int, sub: int, aligned: bool):
     return kern
 
 
-def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned):
-    n_super = int(ids.shape[0])
+def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned,
+                   g_base):
+    """One class's expansion into its compact-buffer range.
+
+    ``ids`` is (n_groups * SUB,) subtile-granular; the output blocks are
+    written SEQUENTIALLY from group offset ``g_base`` (class-major compact
+    layout) — arena order is restored afterwards by one gather_tiles8
+    pass, so the kernel's write side stays contiguous.
+    """
+    n_subt = int(ids.shape[0])
     sub = 1 if _interpret() else SUB
-    if sub == 1:
-        ids = (
-            ids[:, None] * SUB + jnp.arange(SUB, dtype=ids.dtype)[None, :]
-        ).reshape(-1)
+    n_steps = n_subt // sub
+    base_blk = g_base * (SUB // sub)
     block_rows = sub * TILE_ROWS
     # aux arrays are subtile-major 2-D: (n_subtiles, J), block (sub, J)
     cuts = cuts.reshape(-1, j_budget)
@@ -328,7 +368,7 @@ def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned):
 
     def big_tile():
         return pl.BlockSpec(
-            (block_rows, LANES), lambda i, ids: (ids[i], 0),
+            (block_rows, LANES), lambda i, ids: (base_blk + i, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -340,7 +380,7 @@ def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_super * (SUB // sub),),
+        grid=(n_steps,),
         in_specs=[
             smem_vec(),  # cuts
             smem_vec(),  # boffs
@@ -407,7 +447,11 @@ def piecewise_expand(
         fb_table = b_val
 
     apv_cat = flat_gather(plan.apv_gp, a_pad.astype(dt))
-    out = jnp.zeros((plan.n_pad // LANES, LANES), dt)
+    # classes write the class-major compact buffer (sequential blocks);
+    # the +1 trailing tile stays zero (dead/fallback arena tiles source it)
+    n_ct = sum(int(i.shape[0]) for i in plan.ids) + 1
+    out = jnp.zeros((n_ct * TILE_ROWS, LANES), dt)
+    g_base = 0
     for j_budget, ids, cuts, boffs, (lo, hi) in zip(
         J_CLASSES, plan.ids, plan.cuts, plan.boffs, plan.apv_splits
     ):
@@ -415,8 +459,15 @@ def piecewise_expand(
             continue
         apv = apv_cat[lo:hi]
         out = _pw_class_call(
-            j_budget, ids, cuts, boffs, apv, tbl2, out, plan.aligned
+            j_budget, ids, cuts, boffs, apv, tbl2, out, plan.aligned,
+            g_base,
         )
+        g_base += int(ids.shape[0]) // SUB
+    from nsparse_tpu.ops.kernels.gather_pallas import gather_tiles8
+
+    arena = gather_tiles8(
+        out, plan.arena_src, plan.n_pad // TILE, tile_rows=TILE_ROWS
+    )
     if int(plan.fb_ids.shape[0]):
         fb_b = jnp.where(
             plan.fb_bidx >= 0, fb_table[jnp.clip(plan.fb_bidx, 0)], 0
@@ -424,10 +475,10 @@ def piecewise_expand(
         fb_vals = (fb_b * a_pad[plan.fb_aidx]).astype(dt).reshape(
             -1, LANES
         )
-        out = scatter_tiles(
-            out, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS
+        arena = scatter_tiles(
+            arena, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS
         )
-    return out.reshape(-1)
+    return arena.reshape(-1)
 
 
 def _piecewise_reference(plan, a_pad, b_val):
@@ -439,17 +490,22 @@ def _piecewise_reference(plan, a_pad, b_val):
     else:
         tbl = b_val
     tn = int(tbl.shape[0])
-    out = jnp.zeros(plan.n_pad, b_val.dtype)
+    # class-major compact buffer (+1 zero tile), then the arena gather —
+    # mirrors the Pallas path exactly
+    n_ct = sum(int(i.shape[0]) for i in plan.ids) + 1
+    out_c = jnp.zeros((n_ct, TILE), b_val.dtype)
     pos = jnp.arange(TILE, dtype=jnp.int32)
+    cbase = 0
     for j_budget, ids, cuts, boffs, aidx in zip(
         J_CLASSES, plan.ids, plan.cuts, plan.boffs, plan.aidx
     ):
-        n_super = int(ids.shape[0])
-        if not n_super:
+        n_subt = int(ids.shape[0])
+        if not n_subt:
             continue
-        cuts2 = cuts.reshape(n_super * SUB, j_budget)
-        boffs2 = boffs.reshape(n_super * SUB, j_budget)
-        aidx2 = aidx.reshape(n_super * SUB, j_budget)
+        n_real = int((np.asarray(ids) >= 0).sum())
+        cuts2 = cuts.reshape(n_subt, j_budget)[:n_real]
+        boffs2 = boffs.reshape(n_subt, j_budget)[:n_real]
+        aidx2 = aidx.reshape(n_subt, j_budget)[:n_real]
         # per element: the last piece with cut <= pos
         sel = jnp.sum(
             (cuts2[:, None, :] <= pos[None, :, None]).astype(jnp.int32),
@@ -468,12 +524,10 @@ def _piecewise_reference(plan, a_pad, b_val):
         vals = jnp.where(
             zero_b, 0, tbl[jnp.clip(bidx, 0, tn - 1)]
         ) * a_pad[ai]
-        rows = (
-            ids[:, None] * SUB + jnp.arange(SUB, dtype=jnp.int32)[None, :]
-        ).reshape(-1)
-        out = out.reshape(-1, TILE).at[rows].set(
-            vals.astype(out.dtype)
-        ).reshape(-1)
+        rows = cbase + jnp.arange(n_real, dtype=jnp.int32)
+        out_c = out_c.at[rows].set(vals.astype(out_c.dtype))
+        cbase += n_subt
+    out = out_c[plan.arena_src].reshape(-1)
     if int(plan.fb_ids.shape[0]):
         fb_b = jnp.where(
             plan.fb_bidx >= 0, tbl[jnp.clip(plan.fb_bidx, 0)], 0

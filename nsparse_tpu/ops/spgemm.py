@@ -422,6 +422,18 @@ def spgemm_plan(
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
     m, n = a.shape[0], b.shape[1]
 
+    import os as _os
+    import time as _time
+    _t0 = _time.time()
+    _timing = bool(_os.environ.get("NSPARSE_WIN_TIMING"))
+
+    def _tick(stage):
+        nonlocal _t0
+        if _timing:
+            now = _time.time()
+            print(f"[plan] {stage}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     rpt_a, col_a, _ = a.host_arrays()
     rpt_b, col_b, _ = b.host_arrays()
     nnz_a = a.nnz
@@ -435,6 +447,7 @@ def spgemm_plan(
         rpt_a, col_a, deg_a, rpt_b, col_b, deg_b, m, n, nnz_a
     )
 
+    _tick("host-symbolic")
     p_pad = _round_up(p_total, LANES)
     c_cap = _round_up(c_nnz, LANES)
 
@@ -456,6 +469,7 @@ def spgemm_plan(
 
     from nsparse_tpu.ops.kernels.flat_gather import build_flat_gather_plan
 
+    _tick("ends")
     apos_p = _pad(apos, p_pad, int(apos[-1]) if apos.size else 0)
     ends_p = _pad(ends, c_cap, p_pad - 1)
 
@@ -480,6 +494,7 @@ def spgemm_plan(
             p_total, c_nnz, c_cap, m, nnz_a,
             force=(layout == "window"),
         )
+        _tick("window-structure")
         if wres is not None:
             win, pw_plan = wres
         elif layout == "window":
@@ -578,11 +593,23 @@ def spgemm_plan(
         else:
             cmp_masks = np.zeros((1, p_pad // 32 + 1), dtype=np.uint32)
 
+    _tick("pre-push")
+    # window plans never read the product-granular arrays (the window
+    # numeric is pw + win only): keep them empty instead of shipping
+    # ~16 bytes/product to the device (4 x 68 MB on R-MAT-14 — dominant
+    # plan-phase H2D traffic on tunnel-attached chips, and re-transferred
+    # on every jit call that takes the plan as an argument)
+    _empty = np.zeros(0, np.int32)
+    _win_built = win is not None
     return SpgemmPlan(
-        apos=jnp.asarray(apos_p),
-        bpos=jnp.asarray(_pad(bpos, p_pad, 0)),
-        out_pos=jnp.asarray(_pad(out_pos, p_pad, c_cap)),
-        ends=jnp.asarray(ends_p),
+        apos=jnp.asarray(_empty if _win_built else apos_p),
+        bpos=jnp.asarray(
+            _empty if _win_built else _pad(bpos, p_pad, 0)
+        ),
+        out_pos=jnp.asarray(
+            _empty if _win_built else _pad(out_pos, p_pad, c_cap)
+        ),
+        ends=jnp.asarray(_empty if _win_built else ends_p),
         av_gp=(
             build_flat_gather_plan(apos_p, window=1024)
             if slab is None and win is None else None
@@ -592,7 +619,9 @@ def spgemm_plan(
             jnp.asarray(cmp_masks.view(np.int32))
             if cmp_masks is not None else None
         ),
-        uniq_bpos=jnp.asarray(_pad(uniq, u_cap, 0)),
+        uniq_bpos=jnp.asarray(
+            _empty if _win_built else _pad(uniq, u_cap, 0)
+        ),
         bv_gp=(
             build_flat_gather_plan(
                 # -1 sentinels: pad slots come out as ZEROS
@@ -806,7 +835,10 @@ def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     hot = _fg.FORCE_PALLAS or (
         jax.default_backend() == "tpu" and b.val.dtype == jnp.float32
     )
-    if plan.win is not None and hot:
+    if plan.win is not None:
+        # window plans carry no product-granular arrays (see spgemm_plan),
+        # so the window kernels are the only numeric path for them —
+        # interpret-mode Pallas off-TPU
         from nsparse_tpu.ops.spgemm_window import spgemm_numeric_window
 
         return spgemm_numeric_window(plan, a, b)

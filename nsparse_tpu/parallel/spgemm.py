@@ -72,7 +72,11 @@ def _shard_csr(a: PartitionedCSR, d: int) -> CSR:
 def spgemm_plan_dist(a: PartitionedCSR, b: CSR) -> PartitionedSpgemmPlan:
     """Build and stack per-shard plans (host-side symbolic phase)."""
     d_n = a.n_shards
-    plans = [spgemm_plan(_shard_csr(a, d), b) for d in range(d_n)]
+    # shuffle=False: the stacked dist plan consumes the product-granular
+    # arrays (apos/bpos/out_pos), which window plans no longer materialize
+    plans = [
+        spgemm_plan(_shard_csr(a, d), b, shuffle=False) for d in range(d_n)
+    ]
     p_pad = max(p.apos.shape[0] for p in plans)
     c_cap = max(p.c_capacity for p in plans)
 
