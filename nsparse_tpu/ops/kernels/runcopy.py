@@ -65,6 +65,25 @@ J_MAX = {1: 8, 2: 4, 4: 4, 8: 4}
 K_FACTORS = (1, 2, 4, 8)
 SPAN_LCM = 1920                   # lcm of the span_rows buckets (and 16)
 
+# fixed-destination mode classes (see ``build_runcopy_plan(dst=...)``):
+#   ("mspan", S, R, J): S independent source STREAMS per supertile, each
+#     staged as a pair of consecutive (R, 128) blocks into one scratch —
+#     phase-matched pieces are sublane slices of the scratch.  Recovers
+#     sequential DMA when the supertile's reads interleave a few
+#     sequentially-advancing cursors (window-major arena extraction).
+#   ("ualign", J, SUB): per-piece block-pair reads with full lane+sublane
+#     alignment (``_flat_align``) — destinations are forced (e.g. exact
+#     CSR positions), so dst/src phases don't match.
+#   Subtiles denser than every budget fall back to an element gather
+#   (plan.fb_ids / fb_idx), applied via ``scatter_tiles``.
+CLASS_LIST_FIXED = (
+    ("mspan", 8, 40, 8),
+    ("mspan", 8, 160, 8),
+    ("ualign", 2, 8),
+    ("ualign", 8, 2),
+    ("ualign", 16, 1),
+)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -108,8 +127,20 @@ class RunCopyPlan:
     off: Tuple
     cut: Tuple
     end: Tuple
-    n_src: int = dataclasses.field(metadata=dict(static=True))
-    n_out: int = dataclasses.field(metadata=dict(static=True))
+    fb_ids: object = None   # element-fallback subtile ids (fixed mode)
+    fb_idx: object = None   # per-element source index (-1 = zero)
+    n_src: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    n_out: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    # class descriptors aligned with ids/blk/...: auto mode uses
+    # (K, J, SUB, span_rows) tuples, fixed mode ("mspan", S, R, J) /
+    # ("ualign", J, SUB).  None = legacy auto CLASS_LIST.
+    classes: object = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
 
 def _empty_plan(n_src: int):
@@ -145,6 +176,8 @@ def build_runcopy_plan(
     n_src: int,
     kfac: np.ndarray | None = None,
     stride: np.ndarray | None = None,
+    dst: np.ndarray | None = None,
+    n_out: int | None = None,
 ) -> Tuple[RunCopyPlan, np.ndarray]:
     """Assign destinations to runs and route the pieces.
 
@@ -154,7 +187,16 @@ def build_runcopy_plan(
     t*stride + p]``).  Runs must be grouped by kfac (group transitions
     start a fresh supertile).  Returns (plan, dst_off); destinations are
     builder-chosen ascending, phase-matched for K == 1.
+
+    ``dst``: FIXED per-run destinations (ascending, non-overlapping;
+    kfac/stride unsupported).  The fixed-mode classes (CLASS_LIST_FIXED)
+    handle arbitrary src/dst phase via lane-aligned reads, and recover
+    sequential DMA through multi-stream span staging when the piece
+    sources cluster into a few advancing cursors.
     """
+    if dst is not None:
+        assert kfac is None and stride is None
+        return _build_fixed(src_off, lens, n_src, dst, n_out)
     src_off = np.asarray(src_off, dtype=np.int64).reshape(-1)
     lens = np.asarray(lens, dtype=np.int64).reshape(-1)
     n_runs = src_off.size
@@ -346,11 +388,232 @@ def build_runcopy_plan(
     return plan, dst
 
 
+def _build_fixed(src_off, lens, n_src, dst, n_out):
+    """Fixed-destination routing (CLASS_LIST_FIXED; see the class notes)."""
+    src_off = np.asarray(src_off, dtype=np.int64).reshape(-1)
+    lens = np.asarray(lens, dtype=np.int64).reshape(-1)
+    dst = np.asarray(dst, dtype=np.int64).reshape(-1)
+    n_runs = src_off.size
+    if n_out is None:
+        n_out = int((dst + lens).max()) if n_runs else 0
+    n_out = _round_up(n_out, TILE)
+    if not (n_runs and n_out):
+        return (
+            RunCopyPlan(
+                ids=(), blk=(), off=(), cut=(), end=(),
+                fb_ids=jnp.zeros((0,), jnp.int32),
+                fb_idx=jnp.zeros((0,), jnp.int32),
+                n_src=n_src, n_out=n_out, classes=(),
+            ),
+            dst,
+        )
+    assert (np.diff(dst) >= lens[:-1]).all(), "fixed dst must be ascending"
+
+    n_sub = n_out // TILE
+    sub_base = np.arange(n_sub, dtype=np.int64) * TILE
+    first = np.searchsorted(dst, sub_base, side="right") - 1
+    ends_abs = dst + lens
+    has_cont = (first >= 0) & (ends_abs[np.maximum(first, 0)] > sub_base)
+    first = np.where(has_cont, first, first + 1)
+    nxt = np.searchsorted(dst, sub_base + TILE, side="left")
+    count = nxt - first
+
+    # per-(subtile, piece) source element and phase
+    KMAX = max(j for kind, *p in CLASS_LIST_FIXED for j in [
+        p[2] if kind == "mspan" else p[0]
+    ])
+    kk = np.arange(KMAX, dtype=np.int64)
+    r_sk = first[:, None] + kk[None, :]
+    v_sk = (kk[None, :] < count[:, None]) & (r_sk < n_runs) & (r_sk >= 0)
+    rc_sk = np.clip(r_sk, 0, n_runs - 1)
+    a_sk = SRC_BIAS + src_off[rc_sk] + sub_base[:, None] - dst[rc_sk]
+    phase_ok_sub = np.where(v_sk, a_sk % LANES == 0, True).all(axis=1)
+
+    padded_sub = _round_up(n_sub, 8)
+    n_super = padded_sub // 8
+
+    def sup(arr, fill, red):
+        p = np.full(padded_sub, fill, arr.dtype)
+        p[:n_sub] = arr
+        return red(p.reshape(-1, 8), axis=1)
+
+    jmax_super = sup(count, 0, np.max)
+    phase_super = sup(phase_ok_sub, True, np.all)
+    live_super = jmax_super > 0
+
+    ids_l, blk_l, off_l, cut_l, end_l, cls_l = [], [], [], [], [], []
+    assigned = ~live_super
+    interp = _interpret()
+    INT_MAX = np.iinfo(np.int64).max
+    pad_rows = _pad_len(n_src) // LANES
+
+    def pieces_for(subs, J):
+        k = np.arange(J, dtype=np.int64)
+        r = first[subs][:, None] + k[None, :]
+        valid = (k[None, :] < count[subs][:, None]) & (r < n_runs) & (
+            r >= 0
+        )
+        rc = np.clip(r, 0, n_runs - 1)
+        base = sub_base[subs][:, None]
+        cut = np.where(valid, np.maximum(dst[rc] - base, 0), TILE)
+        end = np.where(valid, np.minimum(ends_abs[rc] - base, TILE), TILE)
+        a = np.where(valid, SRC_BIAS + src_off[rc] + base - dst[rc], 0)
+        return cut, end, a, valid
+
+    for ci, (kind, *params) in enumerate(CLASS_LIST_FIXED):
+        if kind == "mspan":
+            if interp:
+                continue  # off-TPU the ualign classes cover everything
+            S, R, J = params
+            cand = np.flatnonzero(
+                (~assigned) & phase_super & (jmax_super <= J)
+            )
+            if not cand.size:
+                continue
+            # candidate supertiles: cluster piece source rows into <= S
+            # intervals, each fitting a pair of consecutive (R, 128)
+            # blocks ([anchor*R, (anchor+2)*R) with 8 rows of headroom)
+            sub8 = (
+                cand[:, None] * 8 + np.arange(8)[None, :]
+            ).reshape(-1)
+            live8 = sub8 < n_sub
+            sub8c = np.minimum(sub8, n_sub - 1)
+            cutc, endc, a_c, val_c = pieces_for(sub8c, J)
+            val_c &= live8[:, None]
+            rows_c = np.where(val_c, a_c // LANES, INT_MAX).reshape(
+                cand.size, 8 * J
+            )
+            ok_idx, anchors_l, srow_l = [], [], []
+            for qi in range(cand.size):
+                rw = np.sort(rows_c[qi][rows_c[qi] < INT_MAX])
+                anchors = []
+                okq = True
+                s0 = 0
+                for x in rw:
+                    if anchors and x + 8 <= (anchors[-1] + 2) * R:
+                        continue
+                    if len(anchors) == S:
+                        okq = False
+                        break
+                    anchors.append(int(x // R))
+                if not okq:
+                    continue
+                anchors += [0] * (S - len(anchors))
+                anc = np.asarray(anchors, np.int64)
+                ok_idx.append(qi)
+                anchors_l.append(anc)
+                del s0
+            if not ok_idx:
+                continue
+            ok_idx = np.asarray(ok_idx, np.int64)
+            sel_sup = cand[ok_idx]
+            assigned[sel_sup] = True
+            anc_all = np.stack(anchors_l)  # (m, S)
+            rows_m = rows_c[ok_idx]        # (m, 8*J)
+            # stream of each piece: the unique anchor whose pair window
+            # contains it (anchors ascend; pick the last with
+            # anchor*R <= row)
+            anc_sorted = anc_all  # ascending by construction
+            st = (
+                (rows_m[:, :, None] >= anc_sorted[:, None, :] * R)
+                & (rows_m[:, :, None] + 8 <= (anc_sorted[:, None, :] + 2) * R)
+            )
+            stream = st.argmax(axis=2)
+            srow = np.where(
+                rows_m < INT_MAX,
+                stream * (2 * R) + rows_m - anc_sorted[
+                    np.arange(ok_idx.size)[:, None], stream
+                ] * R,
+                0,
+            )
+            m = ok_idx.size
+            ids_l.append(jnp.asarray(sel_sup.astype(np.int32)))
+            blk_l.append(jnp.asarray(anc_all.astype(np.int32)))
+            off_l.append(jnp.asarray(
+                srow.reshape(m, 8 * J).astype(np.int32)
+            ))
+            cut_l.append(jnp.asarray(
+                cutc.reshape(cand.size, 8 * J)[ok_idx].astype(np.int32)
+            ))
+            end_l.append(jnp.asarray(
+                endc.reshape(cand.size, 8 * J)[ok_idx].astype(np.int32)
+            ))
+            cls_l.append((kind, S, R, J))
+        else:  # ualign
+            J, SUBC = params
+            ok = (~assigned) & (jmax_super <= J)
+            assigned |= ok
+            sids = np.flatnonzero(ok)
+            if not sids.size:
+                continue
+            per = 8 // SUBC
+            steps = (
+                sids[:, None] * per + np.arange(per)[None, :]
+            ).reshape(-1)
+            steps = steps[steps * SUBC < n_sub]
+            subs = (
+                steps[:, None] * SUBC + np.arange(SUBC)[None, :]
+            ).reshape(-1)
+            live_s = subs < n_sub
+            subsc = np.minimum(subs, n_sub - 1)
+            cut, end, a, valid = pieces_for(subsc, J)
+            valid &= live_s[:, None]
+            cut[~live_s] = TILE
+            end[~live_s] = TILE
+            blk = np.where(valid, a // TILE, 0)
+            off = np.where(valid, a % TILE, 0)
+            n_steps = steps.size
+            ids_l.append(jnp.asarray(steps.astype(np.int32)))
+            blk_l.append(jnp.asarray(
+                blk.reshape(n_steps, SUBC * J).astype(np.int32)
+            ))
+            off_l.append(jnp.asarray(
+                off.reshape(n_steps, SUBC * J).astype(np.int32)
+            ))
+            cut_l.append(jnp.asarray(
+                cut.reshape(n_steps, SUBC * J).astype(np.int32)
+            ))
+            end_l.append(jnp.asarray(
+                end.reshape(n_steps, SUBC * J).astype(np.int32)
+            ))
+            cls_l.append((kind, J, SUBC))
+
+    # element fallback: subtiles of unassigned live supertiles
+    fb_super = np.flatnonzero(~assigned & live_super)
+    if fb_super.size:
+        fsub = (
+            fb_super[:, None] * 8 + np.arange(8)[None, :]
+        ).reshape(-1)
+        fsub = fsub[fsub < n_sub]
+        fsub = fsub[count[fsub] > 0]
+        pos = (fsub[:, None] * TILE + np.arange(TILE)[None, :]).reshape(-1)
+        r = np.searchsorted(dst, pos, side="right") - 1
+        rc = np.clip(r, 0, n_runs - 1)
+        inside = (r >= 0) & (pos < ends_abs[rc])
+        fb_idx = np.where(
+            inside, src_off[rc] + pos - dst[rc], -1
+        ).astype(np.int32)
+        fb_ids = fsub.astype(np.int32)
+    else:
+        fb_ids = np.zeros(0, np.int32)
+        fb_idx = np.zeros(0, np.int32)
+
+    plan = RunCopyPlan(
+        ids=tuple(ids_l), blk=tuple(blk_l), off=tuple(off_l),
+        cut=tuple(cut_l), end=tuple(end_l),
+        fb_ids=jnp.asarray(fb_ids), fb_idx=jnp.asarray(fb_idx),
+        n_src=n_src, n_out=int(n_out), classes=tuple(cls_l),
+    )
+    return plan, dst
+
+
 def _make_rc_kern(K: int, j_budget: int, sub: int):
     """Kernel: K == 1 — phase-matched sublane slices from (8,128) block
-    pairs; K > 1 — per sub-run flat-aligned (8,128) reads summed."""
+    pairs; K > 1 — per sub-run flat-aligned (8,128) reads summed;
+    K == 0 — single flat-aligned pair per piece (fixed-dst "ualign":
+    arbitrary src/dst phase, desc carries the full in-pair offset)."""
     n_j = sub * j_budget
-    n_b = n_j * K  # sub-run slots (each a block PAIR)
+    n_b = n_j * max(K, 1)  # sub-run slots (each a block PAIR)
 
     def kern(bp_ref, desc_ref, *refs):
         del bp_ref
@@ -374,6 +637,13 @@ def _make_rc_kern(K: int, j_budget: int, sub: int):
                     srow = desc_ref[r_id, jj]
                     seg = pltpu.roll(
                         cat, (2 * TILE_ROWS - srow) % (2 * TILE_ROWS), 0
+                    )[:TILE_ROWS]
+                elif K == 0:
+                    cat = jnp.concatenate(
+                        [blocks[2 * jj][:], blocks[2 * jj + 1][:]], axis=0
+                    )
+                    seg = _flat_align(
+                        cat, desc_ref[r_id, jj]
                     )[:TILE_ROWS]
                 else:
                     seg = jnp.zeros((TILE_ROWS, LANES), out_ref.dtype)
@@ -509,6 +779,105 @@ def _rc_span_call(R, J, SUBC, ids, blk, off, cut, end, src2, out, alias):
     )(*operands)
 
 
+def _make_mspan_kern(S: int, R: int, J: int):
+    """Multi-stream span kernel: S pairs of consecutive (R, 128) source
+    blocks staged stream-major into one (S*2R, 128) scratch; every piece
+    is a phase-matched sublane slice at its plan-computed scratch row
+    (stream * 2R + row - anchor*R).  One grid step covers a full
+    8-subtile supertile with S sequential DMA pairs."""
+    n_j = 8 * J
+
+    def kern(bp_ref, desc_ref, *refs):
+        del bp_ref
+        blocks = refs[: 2 * S]
+        out_ref = refs[-2]
+        scr_ref = refs[-1]
+        r_id = pl.program_id(0) % 8
+        for s in range(S):
+            scr_ref[pl.ds(s * 2 * R, R), :] = blocks[2 * s][:]
+            scr_ref[pl.ds(s * 2 * R + R, R), :] = blocks[2 * s + 1][:]
+        pos = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_ROWS, LANES), 0
+            ) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        )
+        for k in range(8):
+            acc = jnp.zeros((TILE_ROWS, LANES), out_ref.dtype)
+            for j in range(J):
+                jj = k * J + j
+                seg = scr_ref[pl.ds(desc_ref[r_id, jj], TILE_ROWS), :]
+                acc = jnp.where(
+                    pos >= desc_ref[r_id, n_j + jj], seg, acc
+                )
+                acc = jnp.where(
+                    pos >= desc_ref[r_id, 2 * n_j + jj], 0.0, acc
+                )
+            out_ref[pl.ds(k * TILE_ROWS, TILE_ROWS), :] = acc
+
+    return kern
+
+
+def _rc_mspan_call(S, R, J, ids, blk, off, cut, end, src2, out):
+    n_steps = int(ids.shape[0])
+    block_rows = 8 * TILE_ROWS
+    n_j = 8 * J
+    blkp = jnp.concatenate(
+        [ids.reshape(-1, 1), blk.reshape(n_steps, S)], axis=1
+    ).reshape(-1)
+    stride = 1 + S
+    desc = jnp.concatenate(
+        [
+            off.reshape(n_steps, n_j),
+            cut.reshape(n_steps, n_j),
+            end.reshape(n_steps, n_j),
+        ],
+        axis=1,
+    )
+    dcols = 3 * n_j
+    pad_steps = _round_up(n_steps, 8) - n_steps
+    if pad_steps:
+        desc = jnp.concatenate(
+            [desc, jnp.zeros((pad_steps, dcols), desc.dtype)]
+        )
+
+    in_specs = [
+        pl.BlockSpec((8, dcols), lambda i, bp: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    for s in range(S):
+        for second in (0, 1):
+            in_specs.append(pl.BlockSpec(
+                (R, LANES),
+                lambda i, bp, s=s, sec=second: (
+                    bp[i * stride + 1 + s] + sec, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ))
+    in_specs.append(pl.BlockSpec(
+        (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
+        memory_space=pltpu.VMEM,
+    ))
+    operands = [blkp, desc] + [src2] * (2 * S) + [out]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_rows, LANES), lambda i, bp: (bp[i * stride], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((S * 2 * R, LANES), src2.dtype)],
+    )
+    return pl.pallas_call(
+        _make_mspan_kern(S, R, J),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        input_output_aliases={len(operands) - 1: 0},
+        interpret=_interpret(),
+    )(*operands)
+
+
 def _rc_class_call(K, J, SUBC, ids, blk, off, cut, end, src2, out, alias):
     sub = 1 if _interpret() else SUBC
     kw = K if K > 1 else 1
@@ -608,6 +977,36 @@ def runcopy(plan: RunCopyPlan, src: jax.Array) -> jax.Array:
     src2 = src_p.reshape(-1, LANES)
     n_alloc = _round_up(plan.n_out, 8 * TILE)
     out = jnp.zeros((n_alloc // LANES, LANES), src.dtype)
+    if plan.classes is not None:
+        # fixed-destination mode: every class aliases the zero-filled
+        # output (uncovered supertiles are real zeros of the layout)
+        for cls, ids, blk, off, cut, end in zip(
+            plan.classes, plan.ids, plan.blk, plan.off, plan.cut,
+            plan.end,
+        ):
+            if not int(ids.shape[0]):
+                continue
+            if cls[0] == "mspan":
+                _, S, R, J = cls
+                out = _rc_mspan_call(
+                    S, R, J, ids, blk, off, cut, end, src2, out
+                )
+            else:
+                _, J, SUBC = cls
+                out = _rc_class_call(
+                    0, J, SUBC, ids, blk, off, cut, end, src2, out,
+                    alias=True,
+                )
+        if plan.fb_ids is not None and int(plan.fb_ids.shape[0]):
+            from nsparse_tpu.ops.kernels.gather_pallas import scatter_tiles
+
+            idx = plan.fb_idx
+            vals = jnp.where(
+                idx >= 0, src[jnp.clip(idx, 0, max(plan.n_src - 1, 0))], 0
+            ).astype(src.dtype).reshape(-1, LANES)
+            out = scatter_tiles(out, plan.fb_ids, vals,
+                                tile_rows=TILE_ROWS)
+        return out.reshape(-1)[: plan.n_out]
     first = True
     for (K, J, SUBC, R), ids, blk, off, cut, end in zip(
         CLASS_LIST, plan.ids, plan.blk, plan.off, plan.cut, plan.end

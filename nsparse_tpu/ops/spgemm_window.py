@@ -167,9 +167,17 @@ class WindowStructure:
       fb_shuffle: global Clos for the fallback-ROW pool (expansion ->
         bin-padded slabs), or None when no row falls back.
       fb_lvl_idx: fallback chunk-level gather indices.
-      asm_shuffle: global Clos assembling c_val from
-        [compact | fb res_concat].
+      entry_benes: per pow2 entry bin, the batched per-window Benes that
+        reorders each window's extracted totals into C-entry order
+        (replaces the round-2 global assembly Clos: the permutation
+        factorizes per window, so 2*log2(P)-1 stages route it instead of
+        a slack-Clos over the padded global width).
+      merge: fixed-destination run-copy assembling c_val from the
+        entry-ordered arena (+ entry-sorted fallback results) — one run
+        per maximal span of consecutive rows sharing a window.
+      fb_perm: small routed shuffle sorting fallback results by entry id.
       class_geom: static ((base, slots, width, levels), ...) per class.
+      ebin_geom: static ((base, slots, P), ...) per entry bin.
       tier_geom: static per class: ((V, n_slots, n_pad), ...) per tier —
         arena width (2x the previous F3), real slots, Benes-padded slots.
       fb_levels: static fallback slab classes (((L, cnt), ...), ...).
@@ -182,13 +190,18 @@ class WindowStructure:
     extract: object
     fb_shuffle: object
     fb_lvl_idx: Tuple
-    asm_shuffle: object
+    entry_benes: Tuple
+    merge: object
+    fb_perm: object
     class_geom: Tuple = dataclasses.field(metadata=dict(static=True))
     tier_geom: Tuple = dataclasses.field(metadata=dict(static=True))
     fb_levels: Tuple = dataclasses.field(metadata=dict(static=True))
     fb_off: int = dataclasses.field(metadata=dict(static=True))
     fb_len: int = dataclasses.field(metadata=dict(static=True))
     n_compact: int = dataclasses.field(metadata=dict(static=True))
+    ebin_geom: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
 
 def build_window_structure(
@@ -558,17 +571,21 @@ def build_window_structure(
     lvloff = {}            # (class j, tier, level) -> src offset
     tier_plans = []        # per active class: [TileBenesPlan, ...]
     tier_geoms = []        # per active class: [(V, n_slots, n_pad), ...]
-    run_src, run_len = [], []
+    run_src, run_len, run_win = [], [], []
     run_id = 0
     # per finished entry: run id + offset within the run
     ent_run = np.full(c_nnz, -1, np.int32)
     ent_off = np.zeros(c_nnz, np.int32)
 
-    def _emit(srcs, lens_, wins_sel, tab):
-        """Append one run per selected window; record run ids in tab."""
+    def _emit(srcs, lens_, wins_sel, tab, wid0=0):
+        """Append one run per selected window; record run ids in tab.
+
+        ``wid0``: offset mapping class-local window indices (tier runs)
+        to global window ids."""
         nonlocal run_id
         run_src.append(srcs)
         run_len.append(lens_)
+        run_win.append(np.asarray(wins_sel, np.int64) + wid0)
         tab[wins_sel] = run_id + np.arange(wins_sel.size)
         run_id += wins_sel.size
 
@@ -748,12 +765,12 @@ def build_window_structure(
                     if not wsel.size:
                         continue
                     _emit(bl[wsel] + st_[wsel, i], al_[wsel, i], wsel,
-                          rid_t[:, cls, i])
+                          rid_t[:, cls, i], wid0=class_wid0[j])
             w3t = np.flatnonzero(cnt[:, 3] > 0)
             if w3t.size:
                 _emit(
                     lvloff[(j, tier, 3)] + w3t * (V >> 3) + g3t[w3t],
-                    cnt[w3t, 3], w3t, rid_t3,
+                    cnt[w3t, 3], w3t, rid_t3, wid0=class_wid0[j],
                 )
             fin = kk <= 3
             fi = items[fin]
@@ -783,19 +800,94 @@ def build_window_structure(
     n_src = src_off
     _tick("tiers")
 
-    # --- extraction: source-ascending run order for the span classes ----
+    # --- extraction: window-major destinations into pow2 entry bins -----
+    # Each window's runs land back-to-back (phase-matched cursor walk) in
+    # its own pow2-sized block; consecutive windows of a bin read
+    # consecutive positions of the same few level arrays, so the
+    # fixed-dst run-copy's multi-stream span classes keep sequential DMA.
     all_src = np.concatenate(run_src) if run_src else np.zeros(0, np.int64)
     all_len = np.concatenate(run_len) if run_len else np.zeros(0, np.int64)
-    ordc = np.argsort(all_src, kind="stable")
-    extract, dst_s = build_runcopy_plan(
-        all_src[ordc], all_len[ordc], n_src
-    )
-    dst = np.empty(dst_s.size, np.int32)
-    dst[ordc] = dst_s
-    n_compact = int(extract.n_out)
-    asm_small = dst[ent_run[went]] + ent_off[went]
+    all_win = np.concatenate(run_win) if run_win else np.zeros(0, np.int64)
 
+    ordw = np.argsort(all_win, kind="stable")
+    srt_w = all_win[ordw]
+    srt_s = all_src[ordw]
+    srt_l = all_len[ordw]
+    wfirst = np.flatnonzero(np.diff(np.concatenate([[-1], srt_w])) != 0)
+    wcnt = np.diff(np.concatenate([wfirst, [srt_w.size]]))
+    wlist = srt_w[wfirst]
+    # phase-matched cursor walk, vectorized: within a window the cursor
+    # phase after run i is (s_i + l_i) mod LANES, so each run's alignment
+    # gap depends only on its predecessor:
+    #   gap_i = (s_i - s_{i-1} - l_{i-1}) mod LANES  (first run: s_i mod)
+    #   d_i   = cumsum(gap + l)_i - l_i   (segmented per window)
+    gap = np.empty(srt_w.size, np.int64)
+    if srt_w.size:
+        gap[0] = srt_s[0] % LANES
+        gap[1:] = (srt_s[1:] - srt_s[:-1] - srt_l[:-1]) % LANES
+        gap[wfirst] = srt_s[wfirst] % LANES
+    csum = np.cumsum(gap + srt_l)
+    seg0 = np.repeat(
+        csum[wfirst] - (gap[wfirst] + srt_l[wfirst]), wcnt
+    )
+    d_loc = csum - seg0 - srt_l
+    wlast = np.concatenate([wfirst[1:], [srt_w.size]]) - 1
+    curw = csum[wlast] - seg0[wlast] if srt_w.size else np.zeros(
+        0, np.int64
+    )
+    _tick("ext/walk")
+
+    # pow2 block per window, bins laid largest-first (keeps every bin
+    # base aligned to its own max(16384, P) without gaps)
+    pw2 = np.maximum(
+        256, 1 << np.ceil(np.log2(np.maximum(curw, 1))).astype(np.int64)
+    )
+    block_base = np.full(n_wins, -1, np.int64)
+    ebin_meta = []  # (P, base, padded slots)
+    arena_cur = 0
+    for P in sorted(set(pw2.tolist()), reverse=True):
+        wsel = wlist[pw2 == P]
+        blen = _round_up(int(wsel.size) * P, max(16384, P))
+        block_base[wsel] = arena_cur + np.arange(wsel.size) * P
+        ebin_meta.append((int(P), int(arena_cur), int(blen)))
+        arena_cur += blen
+    arena_len = int(arena_cur)
+
+    d_emis = np.empty_like(d_loc)
+    d_emis[ordw] = d_loc
+    dst_abs = block_base[all_win] + d_emis
+    ordd = np.argsort(dst_abs, kind="stable")
+    _tick("ext/bins")
+    extract, _ = build_runcopy_plan(
+        all_src[ordd], all_len[ordd], n_src,
+        dst=dst_abs[ordd], n_out=arena_len,
+    )
+    n_compact = arena_len
     _tick("extraction")
+
+    # --- per-window entry-order Benes (the factorized assembly) --------
+    assert (ent_run[went] >= 0).all(), "uncovered window entry"
+    pos_went = dst_abs[ent_run[went]] + ent_off[went]
+    rank_c = _group_rank(
+        we_win, np.zeros(went.size, np.int8),
+        np.ones(went.size, np.int32),
+    )
+    target_went = block_base[we_win] + rank_c
+    eperm = np.full(arena_len, -1, np.int64)
+    eperm[target_went] = pos_went
+    used_e = np.zeros(arena_len, bool)
+    used_e[pos_went] = True
+    empty_e = np.flatnonzero(eperm == -1)
+    eperm[empty_e] = np.flatnonzero(~used_e)
+    entry_benes = []
+    ebin_geom = []
+    for P, ebase, blen in ebin_meta:
+        local = (eperm[ebase : ebase + blen] & np.int64(P - 1)).astype(
+            np.int32
+        )
+        entry_benes.append(build_tile_benes(local, P, force=force))
+        ebin_geom.append((ebase, blen, P))
+    _tick("entry-benes")
     # --- fallback pool: whole rows too heavy for the largest window -----
     fb_entry_ids = np.flatnonzero(win_of_entry < 0)
     fb_shuffle = None
@@ -828,32 +920,75 @@ def build_window_structure(
         res_off_fb = slab_fb["res_off"]
 
     _tick("fb-structure")
-    # --- assembly permutation ------------------------------------------
-    n_res = n_compact + res_off_fb
-    n_asm = max(n_res, c_cap)
-    asm_src = np.full(n_asm, -1, np.int32)
-    asm_src[went] = asm_small
+    # --- assembly: entry-sorted fb + row-granular merge run-copy --------
+    fb_perm = None
+    fb_row_first = fb_row_rows = None
     if slab_fb is not None:
-        asm_src[slab_fb["asm_entry"]] = n_compact + slab_fb["asm_pos"]
-    assert (asm_src[:c_nnz] >= 0).all(), "uncovered output entry"
-    used = np.zeros(n_asm, bool)
-    used[asm_src[:c_nnz]] = True
-    rest = np.flatnonzero(asm_src == -1)
-    asm_src[rest] = np.flatnonzero(~used)[: rest.size]
-    _tick("asm/src-build")
-    asm_shuffle = build_shuffle_plan(asm_src)
-    _tick("asm/clos+benes")
+        fb_ent = np.asarray(slab_fb["asm_entry"], np.int64)
+        fb_pos = np.asarray(slab_fb["asm_pos"], np.int64)
+        ofb = np.argsort(fb_ent, kind="stable")  # entry id = C order
+        fb_src = np.full(res_off_fb, -1, np.int64)
+        fb_src[np.arange(ofb.size)] = fb_pos[ofb]
+        used_f = np.zeros(res_off_fb, bool)
+        used_f[fb_pos] = True
+        empty_f = np.flatnonzero(fb_src == -1)
+        fb_src[empty_f] = np.flatnonzero(~used_f)
+        fb_perm = build_shuffle_plan(fb_src.astype(np.int32))
+        # first sorted-fb position per fallback row
+        fb_rows_of = row_of_entry[fb_ent[ofb]]
+        fbf = np.flatnonzero(
+            np.diff(np.concatenate([[-1], fb_rows_of])) != 0
+        )
+        fb_row_rows = fb_rows_of[fbf]
+        fb_row_first = fbf
+    _tick("asm/fb-perm")
 
-    _tick("asm-route")
+    # merge runs: per row, its entries are contiguous — windowed rows at
+    # block_base[win] + C-rank of the row's first entry, fallback rows in
+    # the entry-sorted fb buffer (offset arena_len); consecutive rows
+    # with contiguous sources coalesce into one run
+    row_len = np.diff(c_rpt).astype(np.int64)
+    rows_nz = np.flatnonzero(row_len > 0)
+    wr = went[np.flatnonzero(
+        np.diff(np.concatenate([[-1], row_of_entry[went]])) != 0
+    )]
+    row_src = np.full(m, -1, np.int64)
+    row_src[row_of_entry[wr]] = (
+        block_base[we_win[np.searchsorted(went, wr)]]
+        + rank_c[np.searchsorted(went, wr)]
+    )
+    if fb_row_rows is not None:
+        row_src[fb_row_rows] = arena_len + fb_row_first
+    assert (row_src[rows_nz] >= 0).all(), "row with no assembly source"
+    rs = row_src[rows_nz]
+    rl = row_len[rows_nz]
+    rd = c_rpt[rows_nz].astype(np.int64)
+    cont = np.zeros(rows_nz.size, bool)
+    if rows_nz.size > 1:
+        cont[1:] = rs[1:] == rs[:-1] + rl[:-1]
+    runb = np.flatnonzero(~cont)
+    mrg_src = rs[runb]
+    mrg_dst = rd[runb]
+    nxt_b = np.concatenate([runb[1:], [rows_nz.size]])
+    lastlen = rl[nxt_b - 1]
+    mrg_len = rd[nxt_b - 1] + lastlen - rd[runb]
+    merge, _ = build_runcopy_plan(
+        mrg_src, mrg_len, arena_len + res_off_fb,
+        dst=mrg_dst, n_out=_round_up(c_cap, 1024),
+    )
+    _tick("asm/merge")
     if os.environ.get("NSPARSE_WIN_DEBUG"):
         global _LAST_DEBUG
         _LAST_DEBUG = dict(
             run_start_ae=run_start_ae, exp_p=exp_p, slot_p=slot_p,
             sel=sel, win_base=win_base, win_of_entry=win_of_entry,
-            lens=lens, starts=starts, dst=dst, fb_base=fb_base,
+            lens=lens, starts=starts, dst=dst_abs, fb_base=fb_base,
             cnt_wc=cnt_wc, sigma_of_entry=sigma_of_entry,
             rank_of_entry=rank_of_entry, all_src=all_src,
-            all_len=all_len, win_width=win_width, asm_src=asm_src,
+            all_len=all_len, win_width=win_width,
+            block_base=block_base, rank_c=rank_c,
+            ext_dst=dst_abs, mrg_src=mrg_src, mrg_len=mrg_len,
+            mrg_dst=mrg_dst,
         )
     win = WindowStructure(
         benes=tuple(benes),
@@ -861,13 +996,16 @@ def build_window_structure(
         extract=extract,
         fb_shuffle=fb_shuffle,
         fb_lvl_idx=fb_lvl_idx,
-        asm_shuffle=asm_shuffle,
+        entry_benes=tuple(entry_benes),
+        merge=merge,
+        fb_perm=fb_perm,
         class_geom=tuple(class_geom),
         tier_geom=tuple(tier_geoms),
         fb_levels=fb_levels,
         fb_off=int(fb_base),
         fb_len=int(fb_len),
         n_compact=int(n_compact),
+        ebin_geom=tuple(ebin_geom),
     )
     return win, pw_plan
 
@@ -914,13 +1052,18 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
                 parts.append(cur.reshape(-1))
     src = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     ext = runcopy(w.extract, src)
-    res = ext[: w.n_compact]
+    segs = [
+        tile_benes_apply(bp, ext[base : base + blen])
+        for bp, (base, blen, _) in zip(w.entry_benes, w.ebin_geom)
+    ]
+    res = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
     if w.fb_shuffle is not None:
         fb_in = prod[w.fb_off : w.fb_off + w.fb_len]
         fbs = planned_shuffle(w.fb_shuffle, fb_in)
         fb_res = slab_class_reduce(fbs, w.fb_levels, w.fb_lvl_idx)
+        fb_res = planned_shuffle(w.fb_perm, fb_res)
         res = jnp.concatenate([res, fb_res])
-    c_val = planned_shuffle(w.asm_shuffle, res)[: plan.c_capacity]
+    c_val = runcopy(w.merge, res)[: plan.c_capacity]
     c_val = jnp.where(
         jnp.arange(plan.c_capacity) < plan.c_nnz, c_val, 0
     ).astype(a.val.dtype)

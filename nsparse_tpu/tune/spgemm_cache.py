@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 3  # v3: in-window radix-8 fold tiers (tiers/tier_geom)
+PLAN_VERSION = 4  # v4: factorized assembly (entry Benes + merge run-copy)
 
 
 def _registry():
