@@ -77,6 +77,7 @@ SPAN_LCM = 1920                   # lcm of the span_rows buckets (and 16)
 #   Subtiles denser than every budget fall back to an element gather
 #   (plan.fb_ids / fb_idx), applied via ``scatter_tiles``.
 CLASS_LIST_FIXED = (
+    ("mspan", 1, 160, 8),
     ("mspan", 8, 40, 8),
     ("mspan", 8, 160, 8),
     ("ualign", 2, 8),
@@ -483,6 +484,40 @@ def _build_fixed(src_off, lens, n_src, dst, n_out):
             rows_c = np.where(val_c, a_c // LANES, INT_MAX).reshape(
                 cand.size, 8 * J
             )
+            if S == 1:
+                # vectorized single-stream test: every piece row within
+                # one anchored (2R, 128) block pair (8 rows of headroom)
+                rmin = np.where(
+                    rows_c == INT_MAX, INT_MAX, rows_c
+                ).min(axis=1)
+                rmax = np.where(rows_c == INT_MAX, -1, rows_c).max(axis=1)
+                okq = (rmin != INT_MAX) & (
+                    rmax + 8 <= (rmin // R + 2) * R
+                )
+                ok_idx = np.flatnonzero(okq)
+                if not ok_idx.size:
+                    continue
+                sel_sup = cand[ok_idx]
+                assigned[sel_sup] = True
+                anc_all = (rmin[ok_idx] // R)[:, None]
+                rows_m = rows_c[ok_idx]
+                srow = np.where(
+                    rows_m < INT_MAX, rows_m - anc_all * R, 0
+                )
+                m = ok_idx.size
+                ids_l.append(jnp.asarray(sel_sup.astype(np.int32)))
+                blk_l.append(jnp.asarray(anc_all.astype(np.int32)))
+                off_l.append(jnp.asarray(
+                    srow.reshape(m, 8 * J).astype(np.int32)
+                ))
+                cut_l.append(jnp.asarray(
+                    cutc.reshape(cand.size, 8 * J)[ok_idx].astype(np.int32)
+                ))
+                end_l.append(jnp.asarray(
+                    endc.reshape(cand.size, 8 * J)[ok_idx].astype(np.int32)
+                ))
+                cls_l.append((kind, S, R, J))
+                continue
             ok_idx, anchors_l, srow_l = [], [], []
             for qi in range(cand.size):
                 rw = np.sort(rows_c[qi][rows_c[qi] < INT_MAX])

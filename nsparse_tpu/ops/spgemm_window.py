@@ -6,14 +6,19 @@ grid) — the measured 10 ms floor of the 22 ms R-MAT-14 numeric.  But the
 products of one C row are CONTIGUOUS in the expansion (a row's A entries
 are contiguous; each contributes one contiguous 8-aligned B run), so the
 expansion->slab permutation FACTORIZES into independent per-row pieces.
-This module bins rows by their arena footprint into power-of-two WINDOWS
-(``ops/binning.bin_rows`` — the reference's per-row FLOP classes,
-``kernel_spgemm_hash_template.cu:59-235``, driving execution), packs
-several rows per window, and routes each window with a width-W Benes:
+This module packs CONSECUTIVE rows into power-of-two WINDOWS (the
+reference's per-row FLOP binning role,
+``kernel_spgemm_hash_template.cu:59-235``, with locality instead of size
+classes; ``ops/binning.bin_rows`` classes the finished windows into the
+pow2 arena bins) and routes each window with a width-W Benes:
 ``2*log2(W)-1`` stages instead of ~70, no slack expansion, no global
-transposes.  This is the TPU analog of the reference keeping each row's
-hash table in one thread block's shared memory (``HashSpGEMM.hpp:509-700``)
-— row locality is what made the GPU version fast.
+transposes.  Consecutive rows make every window's entries one contiguous
+C span, so after a per-window entry Benes (rotated to the C lane phase)
+the final assembly is a monotone phase-matched run copy — no global
+network anywhere on the main path.  This is the TPU analog of the
+reference keeping each row's hash table in one thread block's shared
+memory (``HashSpGEMM.hpp:509-700``) — row locality is what made the GPU
+version fast.
 
 Within a window, entries are classed by product count into fold LEVELS
 0..3 (K = 2^level in {1, 2, 4, 8} — the reference's FLOP classes at
@@ -50,7 +55,6 @@ GAP_CHUNK = 1024      # zero-run chunking bounds in-kernel table reads
 # entry classes: fold level 0..3 (K = 1/2/4/8) + deep (len >= 9)
 CLS_K = (1, 2, 4, 8)
 DEEP = 4                        # class code for len >= 9 (units -> tiers)
-FF_WINDOW = 64                  # bounded first-fit lookback (packing)
 MAX_TIERS = 8                   # radix-8 recursion bound (W <= 8^8)
 
 
@@ -167,15 +171,18 @@ class WindowStructure:
       fb_shuffle: global Clos for the fallback-ROW pool (expansion ->
         bin-padded slabs), or None when no row falls back.
       fb_lvl_idx: fallback chunk-level gather indices.
-      entry_benes: per pow2 entry bin, the batched per-window Benes that
-        reorders each window's extracted totals into C-entry order
-        (replaces the round-2 global assembly Clos: the permutation
-        factorizes per window, so 2*log2(P)-1 stages route it instead of
-        a slack-Clos over the padded global width).
-      merge: fixed-destination run-copy assembling c_val from the
-        entry-ordered arena (+ entry-sorted fallback results) — one run
-        per maximal span of consecutive rows sharing a window.
-      fb_perm: small routed shuffle sorting fallback results by entry id.
+      entry_benes: per pow2 arena bin, the batched per-window Benes that
+        reorders each window's extracted totals into C-entry order,
+        rotated by (C offset mod LANES) so the compaction reads every
+        window phase-matched (replaces the round-2 global assembly Clos:
+        the permutation factorizes per window, so 2*log2(P)-1 stages
+        route it instead of a slack-Clos over the padded global width).
+      merge: fixed-destination run-copy compacting c_val from the
+        entry-ordered arena (+ the fallback segment) — one monotone
+        phase-matched run per window (two on pow2 wrap) and one per
+        fallback row.
+      fb_perm: routed shuffle placing fallback results entry-sorted at
+        per-row phase-matched cursors in the fb segment.
       class_geom: static ((base, slots, width, levels), ...) per class.
       ebin_geom: static ((base, slots, P), ...) per entry bin.
       tier_geom: static per class: ((V, n_slots, n_pad), ...) per tier —
@@ -289,44 +296,66 @@ def build_window_structure(
     ).astype(np.int64)
     weight = np.maximum(p8_row, slab_row)
 
-    # --- row classing + per-class packing -----------------------------
+    # --- consecutive-row packing -----------------------------------------
+    # Windows hold CONSECUTIVE C rows, so each window's entries are one
+    # contiguous C span: the final assembly becomes one monotone run per
+    # window (plus wrap) instead of an element-granular merge, the
+    # per-window entry rank is ``entry_id - first_entry``, and the row ->
+    # window map follows the reference's row-binning role
+    # (``template.cu:59-235``) with locality instead of size classes.
+    # Rows accumulate into a W_TARGET window until it would overflow;
+    # heavier rows get a solo next-pow2 window; rows beyond the largest
+    # width fall back to the global slab pool.
     _tick("stats")
-    bins = bin_rows(weight, min_size=WIN_MIN, num_bins=N_WIN_CLASSES + 1)
-    fb_rows = np.asarray(bins[-1], dtype=np.int64)
-    any_window_row = any(
-        np.any(weight[np.asarray(b, np.int64)] > 0) for b in bins[:-1]
-    )
-    if not any_window_row:
+    W_MAX = WIN_MIN << (N_WIN_CLASSES - 1)
+    W_TARGET = min(2048, W_MAX)
+    live = weight > 0
+    fb_mask = weight > W_MAX
+    fb_rows = np.flatnonzero(fb_mask)
+    if not np.any(live & ~fb_mask):
         return None
 
-    cls_windows = []   # per class: list of row-id arrays (pack order)
+    # one greedy walk over all non-fallback rows (weight-0 rows join
+    # their neighbors' window for free, so empty rows never split a
+    # span).  A window's first row sets its allowance
+    # max(W_TARGET, next_pow2(first need)): a heavy row opens a wide
+    # window that subsequent rows then FILL (occupancy) without growing
+    # it; runs break only at fallback rows.  One loop iteration per
+    # WINDOW (searchsorted jumps), not per row.
+    nf = np.flatnonzero(~fb_mask)
+    cls_windows = [[] for _ in range(N_WIN_CLASSES)]
+    if nf.size:
+        p8s = p8_row[nf]
+        sls = slab_row[nf]
+        gapb = np.flatnonzero(np.diff(np.concatenate([[-2], nf])) != 1)
+        seg_of = np.zeros(nf.size, np.int64)
+        seg_of[gapb] = 1
+        seg_of = np.cumsum(seg_of) - 1
+        nsm = nf.size
+        cp8 = np.concatenate([[0], np.cumsum(p8s)])
+        csl = np.concatenate([[0], np.cumsum(sls)])
+        run_end = np.concatenate([gapb[1:], [nsm]])
+        run_end_of = run_end[seg_of]
+        i = 0
+        while i < nsm:
+            hi = int(run_end_of[i])
+            first_need = max(int(p8s[i]), int(sls[i]), WIN_MIN)
+            w_allow = max(W_TARGET, 1 << (first_need - 1).bit_length())
+            j_p8 = np.searchsorted(
+                cp8, cp8[i] + w_allow, side="right"
+            ) - 1
+            j_sl = np.searchsorted(
+                csl, csl[i] + w_allow, side="right"
+            ) - 1
+            j = max(i + 1, min(j_p8, j_sl, hi))
+            need = max(int(cp8[j] - cp8[i]), int(csl[j] - csl[i]))
+            if need > 0:
+                W = 1 << (max(need, WIN_MIN) - 1).bit_length()
+                jcls = (W // WIN_MIN).bit_length() - 1
+                cls_windows[jcls].append(nf[i:j])
+            i = j
     for j in range(N_WIN_CLASSES):
-        W = WIN_MIN << j
-        rows = np.asarray(bins[j], dtype=np.int64)
-        rows = rows[weight[rows] > 0]
-        order = np.argsort(-weight[rows], kind="stable")
-        rows = rows[order]
-        # bounded first-fit decreasing: scan the last FF_WINDOW open
-        # windows for space (next-fit leaves ~35% of slots dead when
-        # weights span (W/2, W])
-        wins, wp8, wsl = [], [], []
-        p8v = p8_row[rows]
-        slv = slab_row[rows]
-        for i in range(rows.size):
-            placed = False
-            for wi in range(max(0, len(wins) - FF_WINDOW), len(wins)):
-                if wp8[wi] + p8v[i] <= W and wsl[wi] + slv[i] <= W:
-                    wins[wi].append(rows[i])
-                    wp8[wi] += p8v[i]
-                    wsl[wi] += slv[i]
-                    placed = True
-                    break
-            if not placed:
-                wins.append([rows[i]])
-                wp8.append(p8v[i])
-                wsl.append(slv[i])
-        cls_windows.append([np.asarray(ws, np.int64) for ws in wins])
-
+        cls_windows[j].sort(key=lambda a: int(a[0]))
     _tick("packing")
     # --- class geometry (padded with identity windows) ----------------
     active = [j for j in range(N_WIN_CLASSES) if cls_windows[j]]
@@ -352,6 +381,8 @@ def build_window_structure(
     win_width = []
     win_class = []
     win_loc = []       # window index within its class (real windows)
+    win_frow = []      # first (lowest) row id of the window
+    win_lrow = []      # last row id (rows are consecutive)
     class_wid0 = {}    # first global window id of each class
     win_of_row = np.full(m, -1, np.int32)
     wid = 0
@@ -363,6 +394,8 @@ def build_window_structure(
             win_width.append(W)
             win_class.append(j)
             win_loc.append(wl)
+            win_frow.append(rows[0])
+            win_lrow.append(rows[-1])
             win_of_row[rows] = wid
             wid += 1
     n_wins = wid
@@ -370,6 +403,8 @@ def build_window_structure(
     win_width = np.asarray(win_width, np.int32)
     win_class = np.asarray(win_class, np.int32)
     win_loc = np.asarray(win_loc, np.int32)
+    win_frow = np.asarray(win_frow, np.int64)
+    win_lrow = np.asarray(win_lrow, np.int64)
 
     _tick("geometry")
     # --- expansion layout: run placement per A entry -------------------
@@ -589,32 +624,35 @@ def build_window_structure(
         tab[wins_sel] = run_id + np.arange(wins_sel.size)
         run_id += wins_sel.size
 
-    # tier-1 runs: levels 0..2 intervals + the level-3 singles region
-    wl_idx = win_base - np.array(
-        [class_base[j] for j in win_class], np.int64
-    )  # window slot base within its class region
-    lvl1_off = {}
+    # tier-1 runs: levels 0..2 intervals + the level-3 singles region.
+    # The device lays the fold pyramid out WINDOW-major per class (one
+    # axis-1 concat of [F0 | F1 | .. | F_lv] -> (n_w, Pc) blocks): every
+    # window's totals then live in ONE contiguous Pc neighborhood, which
+    # keeps the tight-arena extraction single-stream per output subtile.
+    pyr_base_cls = {}
+    pc_cls = {}
     src_off = 0
     for (base, slots, W, lv), j in zip(class_geom, active):
-        offs = []
-        for k in range(lv + 1):
-            offs.append(src_off)
-            lvloff[(j, 1, k)] = src_off
-            src_off += slots >> k
-        lvl1_off[j] = offs
+        pc = sum(W >> k for k in range(lv + 1))
+        pyr_base_cls[j] = src_off
+        pc_cls[j] = pc
+        src_off += (slots // W) * pc
+    pyrb_w = np.array([pyr_base_cls[j] for j in win_class], np.int64)
+    pc_w = np.array([pc_cls[j] for j in win_class], np.int64)
+    ww64 = win_width.astype(np.int64)
+    wl64 = win_loc.astype(np.int64)
 
     def _lvl1(k):
-        return np.array(
-            [lvl1_off[j][k] if k < len(lvl1_off[j]) else -1
-             for j in win_class], np.int64
-        )
+        """Per-global-window flat offset of its F_k array start."""
+        off_k = 0 if k == 0 else 2 * ww64 - (ww64 >> (k - 1))
+        return pyrb_w + wl64 * pc_w + off_k
 
     # run-id tables for assembly-position recovery
     rid_iv = np.full((n_wins, 3, 8), -1, np.int64)
     rid_c3 = np.full(n_wins, -1, np.int64)
     for cls in (0, 1, 2):
         st_, al_, pv_ = cls_ivs[cls]
-        base_l = _lvl1(cls) + (wl_idx >> cls)
+        base_l = _lvl1(cls)
         for i in range(st_.shape[1]):
             wsel = np.flatnonzero(al_[:, i] > 0)
             if not wsel.size:
@@ -623,8 +661,7 @@ def build_window_structure(
                   rid_iv[:, cls, i])
     w3 = np.flatnonzero(c3w > 0)
     if w3.size:
-        _emit(_lvl1(3)[w3] + (wl_idx[w3] >> 3) + g3w[w3], c3w[w3], w3,
-              rid_c3)
+        _emit(_lvl1(3)[w3] + g3w[w3], c3w[w3], w3, rid_c3)
 
     # asm position references for tier-1 finished entries
     small_ids = went[we_cls <= 2]
@@ -816,6 +853,49 @@ def build_window_structure(
     wfirst = np.flatnonzero(np.diff(np.concatenate([[-1], srt_w])) != 0)
     wcnt = np.diff(np.concatenate([wfirst, [srt_w.size]]))
     wlist = srt_w[wfirst]
+
+    # phase-chain the runs of each window: pick as next run one whose
+    # START phase equals the cursor's END phase, so most inter-run
+    # alignment gaps vanish (~30% of entries otherwise, 64 avg per run).
+    # Greedy bucket matching; the Benes absorbs any in-window order.
+    if srt_w.size:
+        p_ph = (srt_s % LANES).astype(np.int64)
+        q_ph = ((srt_s + srt_l) % LANES).astype(np.int64)
+        chain = np.empty(srt_w.size, np.int64)
+        pos = 0
+        for k0, cnt in zip(wfirst, wcnt):
+            k0 = int(k0)
+            cnt = int(cnt)
+            if cnt == 1:
+                chain[pos] = k0
+                pos += 1
+                continue
+            buckets = {}
+            for i in range(k0 + cnt - 1, k0 - 1, -1):
+                buckets.setdefault(int(p_ph[i]), []).append(i)
+            taken = [False] * cnt
+            cur = 0
+            scan = 0
+            for _ in range(cnt):
+                i = -1
+                lst = buckets.get(cur)
+                while lst:
+                    cand2 = lst.pop()
+                    if not taken[cand2 - k0]:
+                        i = cand2
+                        break
+                if i < 0:
+                    while taken[scan]:
+                        scan += 1
+                    i = k0 + scan
+                taken[i - k0] = True
+                chain[pos] = i
+                pos += 1
+                cur = int(q_ph[i])
+        ordw = ordw[chain]
+        srt_w = all_win[ordw]
+        srt_s = all_src[ordw]
+        srt_l = all_len[ordw]
     # phase-matched cursor walk, vectorized: within a window the cursor
     # phase after run i is (s_i + l_i) mod LANES, so each run's alignment
     # gap depends only on its predecessor:
@@ -837,25 +917,94 @@ def build_window_structure(
     )
     _tick("ext/walk")
 
-    # pow2 block per window, bins laid largest-first (keeps every bin
-    # base aligned to its own max(16384, P) without gaps)
-    pw2 = np.maximum(
-        256, 1 << np.ceil(np.log2(np.maximum(curw, 1))).astype(np.int64)
-    )
-    block_base = np.full(n_wins, -1, np.int64)
+    # --- arena tiles: windows share pow2 Benes tiles --------------------
+    # Each Benes tile holds SEVERAL row-consecutive windows: a window
+    # gets an INPUT region (extraction lands here, 128-aligned so run
+    # phases stay matched) and an OUTPUT region (entry-sorted, at a
+    # cursor congruent to its C offset mod LANES so the compaction reads
+    # it phase-matched).  Both regions index the same tile; the tile's
+    # Benes maps one onto the other.  Sharing replaces the per-window
+    # next-pow2 block (~1.76x slack) with phase gaps only (~1.2x).
+    # ``bin_rows`` (reference BIN role) classes the oversized windows
+    # into their own pow2 tiles.
+    cur_of_win = np.zeros(n_wins, np.int64)
+    cur_of_win[wlist] = curw
+    e0_w = c_rpt[win_frow].astype(np.int64)
+    e1_w = c_rpt[win_lrow + 1].astype(np.int64)
+    n_ent_w = e1_w - e0_w
+    phi_w = e0_w % LANES
+    T_SHARE = 16384
+    span_w = np.maximum(cur_of_win, phi_w + n_ent_w)
+    order_w = np.argsort(win_frow, kind="stable")
+    is_big = span_w > T_SHARE
+    assert int(span_w.max(initial=0)) <= 65536, "window span > 64k"
+
+    in_rel = np.zeros(n_wins, np.int64)   # input region start in tile
+    out_rel = np.zeros(n_wins, np.int64)  # output region start in tile
+    tile_of = np.zeros(n_wins, np.int64)
+    n_share = 0
+    in_cur = out_cur = 0
+    opened = False
+    for w in order_w:
+        if is_big[w]:
+            continue
+        io = _round_up(in_cur, LANES)
+        oo = out_cur + (int(phi_w[w]) - out_cur) % LANES
+        if not opened or max(
+            io + int(cur_of_win[w]), oo + int(n_ent_w[w])
+        ) > T_SHARE:
+            n_share += 1
+            opened = True
+            io = 0
+            oo = int(phi_w[w])
+        tile_of[w] = n_share - 1
+        in_rel[w] = io
+        out_rel[w] = oo
+        in_cur = io + int(cur_of_win[w])
+        out_cur = oo + int(n_ent_w[w])
+
+    # layout: the shared-tile region first, then oversized windows in
+    # pow2 bins (largest first keeps every base max(16384, P)-aligned)
     ebin_meta = []  # (P, base, padded slots)
     arena_cur = 0
-    for P in sorted(set(pw2.tolist()), reverse=True):
-        wsel = wlist[pw2 == P]
-        blen = _round_up(int(wsel.size) * P, max(16384, P))
-        block_base[wsel] = arena_cur + np.arange(wsel.size) * P
-        ebin_meta.append((int(P), int(arena_cur), int(blen)))
-        arena_cur += blen
+    tile_addr = np.zeros(max(n_share, 1), np.int64)
+    if n_share:
+        blen = _round_up(n_share * T_SHARE, max(16384, T_SHARE))
+        tile_addr = np.arange(n_share, dtype=np.int64) * T_SHARE
+        ebin_meta.append((T_SHARE, 0, int(blen)))
+        arena_cur = blen
+    big_ids = np.flatnonzero(is_big)
+    block_base = np.zeros(n_wins, np.int64)
+    if n_share:
+        share_ids = np.flatnonzero(~is_big)
+        block_base[share_ids] = tile_addr[tile_of[share_ids]]
+    if big_ids.size:
+        pbins = bin_rows(span_w[big_ids], min_size=256, num_bins=9)
+        for jb in range(len(pbins) - 1, -1, -1):
+            bsel = np.asarray(pbins[jb], np.int64)
+            if not bsel.size:
+                continue
+            P = 256 << jb
+            wsel = big_ids[bsel]
+            wsel = wsel[np.argsort(win_frow[wsel], kind="stable")]
+            blen = _round_up(int(wsel.size) * P, max(16384, P))
+            block_base[wsel] = arena_cur + np.arange(wsel.size) * P
+            ebin_meta.append((int(P), int(arena_cur), int(blen)))
+            arena_cur += blen
+        out_rel[big_ids] = phi_w[big_ids]  # input at 0, output at phi
     arena_len = int(arena_cur)
+    in_base = block_base + in_rel
+    out_base = block_base + out_rel
+    if os.environ.get("NSPARSE_WIN_DEBUG"):
+        print(
+            f"[windbg] arena={arena_len} content={int(cur_of_win.sum())} "
+            f"entries={int(n_ent_w.sum())} n_share={n_share} "
+            f"big={big_ids.size} wins={n_wins}", flush=True,
+        )
 
     d_emis = np.empty_like(d_loc)
     d_emis[ordw] = d_loc
-    dst_abs = block_base[all_win] + d_emis
+    dst_abs = in_base[all_win] + d_emis
     ordd = np.argsort(dst_abs, kind="stable")
     _tick("ext/bins")
     extract, _ = build_runcopy_plan(
@@ -865,14 +1014,13 @@ def build_window_structure(
     n_compact = arena_len
     _tick("extraction")
 
-    # --- per-window entry-order Benes (the factorized assembly) --------
+    # --- per-tile entry-order Benes (the factorized assembly) ----------
+    # Consecutive rows make the window's entries one contiguous C span,
+    # so the in-window rank is just ``entry_id - first_entry``.
     assert (ent_run[went] >= 0).all(), "uncovered window entry"
     pos_went = dst_abs[ent_run[went]] + ent_off[went]
-    rank_c = _group_rank(
-        we_win, np.zeros(went.size, np.int8),
-        np.ones(went.size, np.int32),
-    )
-    target_went = block_base[we_win] + rank_c
+    rank_c = went.astype(np.int64) - e0_w[we_win]
+    target_went = out_base[we_win] + rank_c
     eperm = np.full(arena_len, -1, np.int64)
     eperm[target_went] = pos_went
     used_e = np.zeros(arena_len, bool)
@@ -920,60 +1068,67 @@ def build_window_structure(
         res_off_fb = slab_fb["res_off"]
 
     _tick("fb-structure")
-    # --- assembly: entry-sorted fb + row-granular merge run-copy --------
+    # --- fallback segment: entry-sorted, phase-matched per fb row -------
+    # The fb results land in a segment appended after the arena; each fb
+    # row's entries sit at a cursor aligned to its C offset mod LANES, so
+    # the compaction reads the segment on the sublane-slice classes too.
     fb_perm = None
-    fb_row_first = fb_row_rows = None
+    fb_seg = 0
+    fb_drow = fb_rcnt = fb_rows_seg = None
     if slab_fb is not None:
         fb_ent = np.asarray(slab_fb["asm_entry"], np.int64)
         fb_pos = np.asarray(slab_fb["asm_pos"], np.int64)
         ofb = np.argsort(fb_ent, kind="stable")  # entry id = C order
-        fb_src = np.full(res_off_fb, -1, np.int64)
-        fb_src[np.arange(ofb.size)] = fb_pos[ofb]
-        used_f = np.zeros(res_off_fb, bool)
+        ent_sorted = fb_ent[ofb]
+        rows_fb = row_of_entry[ent_sorted]
+        rfirst = np.flatnonzero(
+            np.diff(np.concatenate([[-1], rows_fb])) != 0
+        )
+        rcnt = np.diff(np.concatenate([rfirst, [rows_fb.size]]))
+        c0r = c_rpt[rows_fb[rfirst]].astype(np.int64)
+        gapf = np.empty(rfirst.size, np.int64)
+        gapf[0] = c0r[0] % LANES
+        gapf[1:] = (c0r[1:] - c0r[:-1] - rcnt[:-1]) % LANES
+        csf = np.cumsum(gapf + rcnt)
+        drow = csf - rcnt
+        raw_seg = int(csf[-1])
+        fb_seg = _round_up(max(raw_seg, res_off_fb), LANES)
+        pos_in_seg = np.repeat(drow, rcnt) + (
+            np.arange(rows_fb.size, dtype=np.int64)
+            - np.repeat(rfirst, rcnt)
+        )
+        fb_src = np.full(fb_seg, -1, np.int64)
+        fb_src[pos_in_seg] = fb_pos[ofb]
+        used_f = np.zeros(fb_seg, bool)
         used_f[fb_pos] = True
         empty_f = np.flatnonzero(fb_src == -1)
         fb_src[empty_f] = np.flatnonzero(~used_f)
         fb_perm = build_shuffle_plan(fb_src.astype(np.int32))
-        # first sorted-fb position per fallback row
-        fb_rows_of = row_of_entry[fb_ent[ofb]]
-        fbf = np.flatnonzero(
-            np.diff(np.concatenate([[-1], fb_rows_of])) != 0
-        )
-        fb_row_rows = fb_rows_of[fbf]
-        fb_row_first = fbf
+        fb_drow = drow
+        fb_rcnt = rcnt
+        fb_rows_seg = rows_fb[rfirst]
     _tick("asm/fb-perm")
 
-    # merge runs: per row, its entries are contiguous — windowed rows at
-    # block_base[win] + C-rank of the row's first entry, fallback rows in
-    # the entry-sorted fb buffer (offset arena_len); consecutive rows
-    # with contiguous sources coalesce into one run
-    row_len = np.diff(c_rpt).astype(np.int64)
-    rows_nz = np.flatnonzero(row_len > 0)
-    wr = went[np.flatnonzero(
-        np.diff(np.concatenate([[-1], row_of_entry[went]])) != 0
-    )]
-    row_src = np.full(m, -1, np.int64)
-    row_src[row_of_entry[wr]] = (
-        block_base[we_win[np.searchsorted(went, wr)]]
-        + rank_c[np.searchsorted(went, wr)]
+    # --- compaction runs: one per window plus one per fallback row;
+    # sources are phase-matched by construction and monotone within each
+    # arena region / the fb segment --------------------------------------
+    wnz = np.flatnonzero(n_ent_w > 0)
+    r_src = [out_base[wnz]]
+    r_dst = [e0_w[wnz]]
+    r_len = [n_ent_w[wnz]]
+    if fb_drow is not None:
+        r_src.append(arena_len + fb_drow)
+        r_dst.append(c_rpt[fb_rows_seg].astype(np.int64))
+        r_len.append(fb_rcnt)
+    mrg_src = np.concatenate(r_src)
+    mrg_dst = np.concatenate(r_dst)
+    mrg_len = np.concatenate(r_len)
+    ordm = np.argsort(mrg_dst, kind="stable")
+    mrg_src, mrg_dst, mrg_len = (
+        mrg_src[ordm], mrg_dst[ordm], mrg_len[ordm]
     )
-    if fb_row_rows is not None:
-        row_src[fb_row_rows] = arena_len + fb_row_first
-    assert (row_src[rows_nz] >= 0).all(), "row with no assembly source"
-    rs = row_src[rows_nz]
-    rl = row_len[rows_nz]
-    rd = c_rpt[rows_nz].astype(np.int64)
-    cont = np.zeros(rows_nz.size, bool)
-    if rows_nz.size > 1:
-        cont[1:] = rs[1:] == rs[:-1] + rl[:-1]
-    runb = np.flatnonzero(~cont)
-    mrg_src = rs[runb]
-    mrg_dst = rd[runb]
-    nxt_b = np.concatenate([runb[1:], [rows_nz.size]])
-    lastlen = rl[nxt_b - 1]
-    mrg_len = rd[nxt_b - 1] + lastlen - rd[runb]
     merge, _ = build_runcopy_plan(
-        mrg_src, mrg_len, arena_len + res_off_fb,
+        mrg_src, mrg_len, arena_len + fb_seg,
         dst=mrg_dst, n_out=_round_up(c_cap, 1024),
     )
     _tick("asm/merge")
@@ -1012,8 +1167,9 @@ def build_window_structure(
 
 def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     """Window-arena numeric phase (pure jit): expand -> per-window Benes
-    -> fold pyramid (+ radix-8 tiers for deep entries) -> run-copy
-    extraction -> fallback-row Clos + class reductions -> assembly Clos."""
+    -> fold pyramid (+ radix-8 tiers for deep entries) -> tight-arena
+    run-copy extraction -> per-window entry Benes (phase-rotated C order)
+    -> monotone run-copy compaction (+ fallback-row Clos side channel)."""
     from nsparse_tpu.ops.kernels.piecewise import piecewise_expand
     from nsparse_tpu.ops.kernels.runcopy import runcopy
     from nsparse_tpu.ops.kernels.shuffle_pallas import (
@@ -1024,18 +1180,22 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
 
     w: WindowStructure = plan.win
     prod = piecewise_expand(plan.pw, a.val, b.val)
-    # parts order mirrors the host lvloff walk: every class's tier-1
-    # pyramid first, then each class's tier folds
+    # parts order mirrors the host lvloff walk: per class ONE window-major
+    # pyramid block ([F0 | F1 | .. | F_lv] concatenated along the window
+    # axis, so every window's totals are one contiguous neighborhood for
+    # the extraction), then each class's tier folds (level-major)
     parts = []
     curs = []
     for bp, (base, slots, width, levels) in zip(w.benes, w.class_geom):
         x = tile_benes_apply(bp, prod[base : base + slots])
-        parts.append(x)
-        cur = x.reshape(-1, width)
+        levs = [x.reshape(-1, width)]
+        cur = levs[0]
         for k in range(1, levels + 1):
             half = width >> k
             cur = cur[:, :half] + cur[:, half:]
-            parts.append(cur.reshape(-1))
+            levs.append(cur)
+        blk = levs[0] if levels == 0 else jnp.concatenate(levs, axis=1)
+        parts.append(blk.reshape(-1))
         curs.append(cur)
     for tps, tgs, cur in zip(w.tiers, w.tier_geom, curs):
         for tp, (V, n_slots, n_pad) in zip(tps, tgs):
@@ -1061,6 +1221,10 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
         fb_in = prod[w.fb_off : w.fb_off + w.fb_len]
         fbs = planned_shuffle(w.fb_shuffle, fb_in)
         fb_res = slab_class_reduce(fbs, w.fb_levels, w.fb_lvl_idx)
+        fb_seg = int(w.merge.n_src) - w.n_compact
+        fb_res = jnp.pad(
+            fb_res, (0, max(fb_seg - int(fb_res.shape[0]), 0))
+        )
         fb_res = planned_shuffle(w.fb_perm, fb_res)
         res = jnp.concatenate([res, fb_res])
     c_val = runcopy(w.merge, res)[: plan.c_capacity]

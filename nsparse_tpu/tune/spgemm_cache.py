@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 4  # v4: factorized assembly (entry Benes + merge run-copy)
+PLAN_VERSION = 5  # v5: consecutive-row windows, phase-rotated entry Benes
 
 
 def _registry():
