@@ -458,9 +458,10 @@ def spgemm_plan(
 
     # last product of each output entry: starts are where out_pos changes
     if c_nnz:
-        starts = np.flatnonzero(
-            np.diff(np.concatenate([[-1], out_pos])) != 0
-        )
+        neq = np.empty(out_pos.size, bool)
+        neq[0] = True
+        np.not_equal(out_pos[1:], out_pos[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
         ends = np.concatenate(
             [starts[1:] - 1, [p_total - 1]]
         ).astype(np.int32)

@@ -65,12 +65,10 @@ def _round_up(x: int, m: int) -> int:
 def _cls_of(lens: np.ndarray) -> np.ndarray:
     """Entry class code: fold level 0..3 for len <= 8 (total lands at
     F_level[sigma]), DEEP for len >= 9 (one 8-fold L3 partial per 8
-    products; partials reduce in-window through the radix-8 tiers)."""
-    return np.where(
-        lens <= 1, 0,
-        np.where(lens <= 2, 1,
-                 np.where(lens <= 4, 2,
-                          np.where(lens <= 8, 3, DEEP))),
+    products; partials reduce in-window through the radix-8 tiers).
+    One searchsorted pass (class = #thresholds below len)."""
+    return np.searchsorted(
+        np.asarray([1, 2, 4, 8], dtype=lens.dtype), lens, side="left"
     ).astype(np.int8)
 
 
@@ -144,16 +142,26 @@ def _alloc_levels(width, c0, c1, c2, c3, uw):
 
 def _group_rank(keys_win, keys_cls, sizes):
     """Rank (size-weighted prefix) of each item within its (window,
-    class) group, groups in input order (= entry id = C order)."""
-    order = np.lexsort((keys_cls, keys_win))
-    gkey = keys_win[order].astype(np.int64) * 8 + keys_cls[order]
-    gfirst = np.flatnonzero(np.diff(np.concatenate([[-1], gkey])) != 0)
-    gcounts = np.diff(np.concatenate([gfirst, [gkey.size]]))
-    u_sorted = sizes[order]
-    ucum = np.cumsum(u_sorted, dtype=np.int64) - u_sorted
-    rank_sorted = ucum - np.repeat(ucum[gfirst], gcounts)
-    rank = np.empty(keys_win.size, np.int32)
-    rank[order] = rank_sorted
+    class) group, groups in input order (= entry id = C order).
+
+    ``keys_win`` is NON-DECREASING at every call site (items arrive in C
+    entry order and windows hold consecutive rows), so the rank is a
+    per-class segmented weighted cumsum — no lexsort."""
+    n = keys_win.size
+    rank = np.empty(n, np.int32)
+    for c in range(int(keys_cls.max(initial=0)) + 1):
+        ids = np.flatnonzero(keys_cls == c)
+        if not ids.size:
+            continue
+        kw = keys_win[ids]
+        sz = sizes[ids].astype(np.int64)
+        cs = np.cumsum(sz)
+        f = np.flatnonzero(
+            np.concatenate([[True], kw[1:] != kw[:-1]])
+        )
+        cnt = np.diff(np.concatenate([f, [kw.size]]))
+        base = np.repeat(cs[f] - sz[f], cnt)
+        rank[ids] = cs - sz - base
     return rank
 
 
@@ -287,13 +295,12 @@ def build_window_structure(
     _tick("stats/row-of-entry")
     seg_len = deg_b[col_a]                       # products per A entry
     seg8 = -(-seg_len // 8) * 8
-    p8_row = np.bincount(
-        np.repeat(np.arange(m, dtype=np.int64), deg_a), weights=seg8,
-        minlength=m,
-    ).astype(np.int64)
-    slab_row = np.bincount(
-        row_of_entry, weights=slot_cost, minlength=m
-    ).astype(np.int64)
+    # per-row sums: entries/A-entries are row-sorted, so boundary
+    # differences of one cumsum replace the bincount scatter passes
+    cs8 = np.concatenate([[0], np.cumsum(seg8, dtype=np.int64)])
+    p8_row = cs8[rpt_a[1:]] - cs8[rpt_a[:-1]]
+    csc = np.concatenate([[0], np.cumsum(slot_cost, dtype=np.int64)])
+    slab_row = csc[c_rpt[1:]] - csc[c_rpt[:-1]]
     weight = np.maximum(p8_row, slab_row)
 
     # --- consecutive-row packing -----------------------------------------
@@ -439,8 +446,9 @@ def build_window_structure(
 
     # gap zero-runs: per real window the unused tail, per pad window all
     gap_starts, gap_lens = [], []
-    used_w = np.zeros(n_wins, np.int64)
-    np.add.at(used_w, win_of_row[w_rows], p8_row[w_rows])
+    used_w = np.bincount(
+        win_of_row[w_rows], weights=p8_row[w_rows], minlength=n_wins
+    ).astype(np.int64)
     gs = win_base + used_w
     gl = win_width - used_w
     gap_starts.append(gs[gl > 0])
@@ -498,8 +506,10 @@ def build_window_structure(
     we_win = win_of_entry[went]
     we_cls = ecls[went]
     _tick("slab/went")
-    cnt_wc = np.zeros((n_wins, 5), np.int64)
-    np.add.at(cnt_wc, (we_win, we_cls), units[went])
+    cnt_wc = np.bincount(
+        we_win.astype(np.int64) * 5 + we_cls, weights=units[went],
+        minlength=n_wins * 5,
+    ).astype(np.int64).reshape(n_wins, 5)
     _tick("slab/cnt")
     c0w = cnt_wc[:, 0]
     c1w = cnt_wc[:, 1]
@@ -528,8 +538,20 @@ def build_window_structure(
         wv_ = win_of_entry[ids]
         rr = rank_of_entry[ids]
         st_, al_, pv_ = cls_ivs[cls]
-        iv = (rr[:, None] >= pv_[wv_]).sum(axis=1, dtype=np.int32) - 1
-        iv = np.minimum(iv, st_.shape[1] - 1)
+        # interval 0 covers most entries (_by_capacity puts the largest
+        # interval first): search the remaining columns only on the
+        # minority past interval 0 — no (n, k) broadcast block
+        iv = np.zeros(ids.size, np.int32)
+        ncols = st_.shape[1]
+        if ncols > 1:
+            hi = np.flatnonzero(rr >= pv_[wv_, 1])
+            if hi.size:
+                rrh = rr[hi]
+                wvh = wv_[hi]
+                ivh = np.ones(hi.size, np.int32)
+                for k in range(2, ncols):
+                    ivh += rrh >= pv_[wvh, k]
+                iv[hi] = np.minimum(ivh, ncols - 1)
         sigma_of_entry[ids] = st_[wv_, iv] + rr - pv_[wv_, iv]
         iv_of_entry[ids] = iv
     _tick("slab/ivs")
@@ -549,22 +571,25 @@ def build_window_structure(
     # --- tier-1 Benes permutations per class ----------------------------
     delta = (run_start_ae - rpt_b[col_a]).astype(np.int32)
     exp_p = delta[apos] + bpos  # global expansion position per product
-    k_p = out_pos
-    sel = win_of_entry[k_p] >= 0
+    # per-product values expand per-ENTRY precomputes with np.repeat —
+    # sequential writes at half the passes of gathering through out_pos
+    wv_e = np.maximum(win_of_entry, 0)
+    deep_e = ecls == DEEP
+    stride_e = (
+        win_width[wv_e] >> np.minimum(ecls, np.int8(3))
+    ).astype(np.int32)
+    base_e = win_base[wv_e] + sigma_of_entry
+    lens64 = lens.astype(np.int64)
+    sel = np.repeat(win_of_entry >= 0, lens64)
     t_p = np.arange(p_total, dtype=np.int32)
-    t_p -= starts[k_p]
-    wv = np.maximum(win_of_entry[k_p], 0)
-    cv = ecls[k_p]
-    sig_p = sigma_of_entry[k_p]
-    is_deep = cv == DEEP
+    t_p -= np.repeat(starts, lens64)
+    is_deep = np.repeat(deep_e, lens64)
     _tick("benes/perm-gathers")
     # fold stride W >> level; deep: unit sigma + within-unit t, stride W/8
-    fold_stride = win_width[wv] >> np.minimum(cv, np.int8(3))
     tt = np.where(is_deep, t_p & 7, t_p)
-    sig_full = np.where(is_deep, sig_p + (t_p >> 3), sig_p)
-    slot_p = win_base[wv]
-    slot_p += sig_full
-    slot_p += tt * fold_stride
+    slot_p = np.repeat(base_e, lens64)
+    slot_p += np.where(is_deep, t_p >> 3, 0)
+    slot_p += tt * np.repeat(stride_e, lens64)
     _tick("benes/perm-slots")
     perm = np.full(fb_base, -1, np.int32)
     perm[slot_p[sel]] = exp_p[sel]
@@ -585,7 +610,7 @@ def build_window_structure(
             W - 1
         )
         _tick(f"benes/local-W{W}")
-        benes.append(build_tile_benes(local, W, force=force))
+        benes.append(build_tile_benes(local, W))
         _tick(f"benes/route-W{W}")
         wins_j = np.flatnonzero(win_class == j)
         lv = 0
@@ -705,8 +730,10 @@ def build_window_structure(
                                    np.where(u <= 8, 3, DEEP))
                           ).astype(np.int8)
             un = np.where(kk == DEEP, -(-u // 8), 1).astype(np.int32)
-            cnt = np.zeros((n_w_t, 5), np.int64)
-            np.add.at(cnt, (wloc, kk), un)
+            cnt = np.bincount(
+                wloc.astype(np.int64) * 5 + kk, weights=un,
+                minlength=n_w_t * 5,
+            ).astype(np.int64).reshape(n_w_t, 5)
             wv_t = np.full(n_w_t, V, np.int64)
             civ, g3t, dstt = _alloc_levels(
                 wv_t, cnt[:, 0], cnt[:, 1], cnt[:, 2], cnt[:, 3],
@@ -782,7 +809,7 @@ def build_window_structure(
             # source never leaves its tile: pow2 mask, no modulo)
             local = permt & np.int32(tile_w - 1)
             _tick(f"tiers/perm-V{V}")
-            plans_j.append(build_tile_benes(local, tile_w, force=force))
+            plans_j.append(build_tile_benes(local, tile_w))
             _tick(f"tiers/route-V{V}")
             geoms_j.append((int(V), int(n_slots), int(n_pad)))
 
@@ -1033,7 +1060,7 @@ def build_window_structure(
         local = (eperm[ebase : ebase + blen] & np.int64(P - 1)).astype(
             np.int32
         )
-        entry_benes.append(build_tile_benes(local, P, force=force))
+        entry_benes.append(build_tile_benes(local, P))
         ebin_geom.append((ebase, blen, P))
     _tick("entry-benes")
     # --- fallback pool: whole rows too heavy for the largest window -----
