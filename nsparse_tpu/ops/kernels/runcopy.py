@@ -142,6 +142,10 @@ class RunCopyPlan:
     classes: object = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # interpret-mode shortcut (CPU tests): per-output source index
+    # (-1 = zero).  One gather instead of dozens of per-class pallas
+    # compilations — the mask/DMA kernels are TPU-validated separately.
+    flat_idx: object = None
 
 
 def _empty_plan(n_src: int):
@@ -409,6 +413,25 @@ def _build_fixed(src_off, lens, n_src, dst, n_out):
             dst,
         )
     assert (np.diff(dst) >= lens[:-1]).all(), "fixed dst must be ascending"
+
+    if _interpret():
+        # CPU tests: one gather replaces the whole class machinery (and
+        # its dozens of per-class pallas interpret compilations)
+        fi = np.full(n_out, -1, np.int64)
+        pr = np.repeat(np.arange(n_runs, dtype=np.int64), lens)
+        cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        kin = np.arange(pr.size, dtype=np.int64) - cum[pr]
+        fi[dst[pr] + kin] = src_off[pr] + kin
+        return (
+            RunCopyPlan(
+                ids=(), blk=(), off=(), cut=(), end=(),
+                fb_ids=jnp.zeros((0,), jnp.int32),
+                fb_idx=jnp.zeros((0,), jnp.int32),
+                n_src=n_src, n_out=n_out, classes=(),
+                flat_idx=jnp.asarray(fi.astype(np.int32)),
+            ),
+            dst,
+        )
 
     n_sub = n_out // TILE
     sub_base = np.arange(n_sub, dtype=np.int64) * TILE
@@ -1004,6 +1027,12 @@ def runcopy(plan: RunCopyPlan, src: jax.Array) -> jax.Array:
     """
     if plan.n_out == 0:
         return jnp.zeros((0,), src.dtype)
+    if plan.flat_idx is not None:
+        idx = plan.flat_idx
+        safe = jnp.clip(idx, 0, max(plan.n_src - 1, 0))
+        return jnp.where(idx >= 0, src[: plan.n_src][safe], 0).astype(
+            src.dtype
+        )
     pad_len = _pad_len(plan.n_src)
     src_p = jnp.zeros(pad_len, src.dtype)
     src_p = jax.lax.dynamic_update_slice(

@@ -41,6 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _FALLBACK_N = 1 << 17  # below this, XLA's gather is fine and grids are tiny
+# off-TPU, always store plain gather indices: interpret-mode Benes passes
+# cost minutes per compile in the CPU test suite, and the mask path is
+# covered by the forced test_shuffle cases (tests monkeypatch this False)
+_CPU_GATHER = True
+
+
+def _prefer_gather(n: int) -> bool:
+    return n < _FALLBACK_N or (
+        _CPU_GATHER and jax.default_backend() != "tpu"
+    )
 
 
 def _interpret() -> bool:
@@ -215,7 +225,7 @@ def build_shuffle_plan(src: np.ndarray, cu: int | None = None) -> ShufflePlan:
             r=0, cu=0, cs=0, n=n,
         )
 
-    if n < _FALLBACK_N:
+    if _prefer_gather(n):
         return fallback()
     from nsparse_tpu.native import benes_route, clos_route_slack, get_lib
 
@@ -350,7 +360,7 @@ def build_tile_benes(
             idx=jnp.asarray(glob), w=width, n=n,
         )
 
-    if (n < _FALLBACK_N and not force) or n % max(16384, width):
+    if (_prefer_gather(n) and not force) or n % max(16384, width):
         return fallback()
     from nsparse_tpu.native import benes_route_split, get_lib
 

@@ -76,6 +76,7 @@ def test_clos_route_slack_stages_compose():
 
 def test_planned_shuffle_end_to_end(monkeypatch):
     monkeypatch.setattr(sp, "_FALLBACK_N", 1)
+    monkeypatch.setattr(sp, "_CPU_GATHER", False)
     rng = np.random.default_rng(3)
     for n, cu in ((128 * 128, 128), (128 * 128 - 37, 128), (200000, 192)):
         src = rng.permutation(n).astype(np.int32)
@@ -89,6 +90,7 @@ def test_planned_shuffle_end_to_end(monkeypatch):
 def test_planned_shuffle_repair_path(monkeypatch):
     # occupancy > 0.5 exercises Paull rearrangement in the router
     monkeypatch.setattr(sp, "_FALLBACK_N", 1)
+    monkeypatch.setattr(sp, "_CPU_GATHER", False)
     rng = np.random.default_rng(4)
     n = 128 * 1500  # cu=1500, cs=2048 -> occ 0.73
     src = rng.permutation(n).astype(np.int32)
@@ -112,6 +114,7 @@ def test_tile_benes_batch(monkeypatch):
     """Independent per-tile permutations via one Benes pass (the
     row-localized arena shuffle)."""
     monkeypatch.setattr(sp, "_FALLBACK_N", 1)
+    monkeypatch.setattr(sp, "_CPU_GATHER", False)
     rng = np.random.default_rng(7)
     for width, n_tiles in ((512, 32), (2048, 8), (16384, 1)):
         n = width * n_tiles

@@ -192,6 +192,7 @@ def test_ell_xshuffle_path(monkeypatch):
     monkeypatch.setattr(ellmod, "XSH_MIN_SLOTS", 1)
     monkeypatch.setattr(ellmod, "XSH_BAD_FRAC", 0.0)
     monkeypatch.setattr(shp, "_FALLBACK_N", 1)
+    monkeypatch.setattr(shp, "_CPU_GATHER", False)
     rng = np.random.default_rng(5)
     a = random_csr(700, 5000, density=0.01, seed=13, dtype=np.float32)
     ell = ELL.from_csr(a)
