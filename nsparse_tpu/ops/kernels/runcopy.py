@@ -90,6 +90,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _build_for_tpu() -> bool:
+    """Plan-build target: TPU-style routing even when building off-TPU.
+
+    Plans are serializable (``tune/spgemm_cache.py``) and often built in a
+    host/CPU process for a TPU consumer; ``NSPARSE_PLAN_TARGET=tpu`` forces
+    the mask/DMA class machinery instead of the interpret-mode gather
+    shortcuts."""
+    import os
+
+    return os.environ.get("NSPARSE_PLAN_TARGET", "").lower() == "tpu"
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-max(int(x), 0) // m) * m
 
@@ -414,7 +426,7 @@ def _build_fixed(src_off, lens, n_src, dst, n_out):
         )
     assert (np.diff(dst) >= lens[:-1]).all(), "fixed dst must be ascending"
 
-    if _interpret():
+    if _interpret() and not _build_for_tpu():
         # CPU tests: one gather replaces the whole class machinery (and
         # its dozens of per-class pallas interpret compilations)
         fi = np.full(n_out, -1, np.int64)
@@ -467,7 +479,7 @@ def _build_fixed(src_off, lens, n_src, dst, n_out):
 
     ids_l, blk_l, off_l, cut_l, end_l, cls_l = [], [], [], [], [], []
     assigned = ~live_super
-    interp = _interpret()
+    interp = _interpret() and not _build_for_tpu()
     INT_MAX = np.iinfo(np.int64).max
     pad_rows = _pad_len(n_src) // LANES
 

@@ -48,8 +48,14 @@ _CPU_GATHER = True
 
 
 def _prefer_gather(n: int) -> bool:
-    return n < _FALLBACK_N or (
-        _CPU_GATHER and jax.default_backend() != "tpu"
+    if n < _FALLBACK_N:
+        return True
+    from nsparse_tpu.ops.kernels.runcopy import _build_for_tpu
+
+    return (
+        _CPU_GATHER
+        and jax.default_backend() != "tpu"
+        and not _build_for_tpu()
     )
 
 

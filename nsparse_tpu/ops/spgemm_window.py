@@ -1,40 +1,28 @@
 """Row-localized window arenas for the ESC SpGEMM numeric phase.
 
 The round-2 slab pipeline moved every intermediate product through ONE
-global slack-Clos/Benes network (~70 roll+select stages over a 2x-expanded
-grid) — the measured 10 ms floor of the 22 ms R-MAT-14 numeric.  But the
-products of one C row are CONTIGUOUS in the expansion (a row's A entries
-are contiguous; each contributes one contiguous 8-aligned B run), so the
-expansion->slab permutation FACTORIZES into independent per-row pieces.
-This module packs CONSECUTIVE rows into power-of-two WINDOWS (the
-reference's per-row FLOP binning role,
-``kernel_spgemm_hash_template.cu:59-235``, with locality instead of size
-classes; ``ops/binning.bin_rows`` classes the finished windows into the
-pow2 arena bins) and routes each window with a width-W Benes:
-``2*log2(W)-1`` stages instead of ~70, no slack expansion, no global
-transposes.  Consecutive rows make every window's entries one contiguous
-C span, so after a per-window entry Benes (rotated to the C lane phase)
-the final assembly is a monotone phase-matched run copy — no global
-network anywhere on the main path.  This is the TPU analog of the
-reference keeping each row's hash table in one thread block's shared
-memory (``HashSpGEMM.hpp:509-700``) — row locality is what made the GPU
-version fast.
+global slack-Clos/Benes network; round 3 factorized it into per-window
+Benes + fold pyramids, but still materialized the pyramid in HBM and
+extracted totals with a run-copy over ~45M slots (measured ~7 ms of the
+11.4 ms R-MAT-14 numeric).  Round 4 fuses everything after the tier-1
+Benes into ONE Pallas kernel per width class
+(``ops/kernels/window_fused.py``): folds, radix-8 tiers, extraction and
+the per-window entry ordering all happen in VMEM; only the entry-ordered
+class arena reaches HBM, and one fixed-destination run-copy (plus the
+fallback-row side channel) assembles ``c_val``.
 
-Within a window, entries are classed by product count into fold LEVELS
-0..3 (K = 2^level in {1, 2, 4, 8} — the reference's FLOP classes at
-output-entry granularity).  An entry at level k owns the strided footprint
-``{sigma + t * (W >> k)}`` of the window; the halving fold
-``F_{l+1}[i] = F_l[i] + F_l[i + W >> (l+1)]`` (contiguous adds at memory
-speed) leaves its total at ``F_k[sigma]``.  Entries with more than 8
-products leave ``ceil(len/8)`` level-3 partials and recurse through
-radix-8 FOLD TIERS *inside the same window*: tier t re-permutes the
-previous tier's F3 array (width V/8, plus a zero half for footprint
-tails) with another per-window Benes and folds three more levels, so an
-entry of any length reduces fully in-window — no partial ever leaves for
-a global pool.  Only whole rows too heavy for the largest window route
-through the round-2 global-Clos slab machinery (a small side channel).
-One final global Clos assembles C values from the compact extraction
-buffer plus the fallback results.
+Windows hold CONSECUTIVE C rows (the reference's per-row FLOP binning
+role, ``kernel_spgemm_hash_template.cu:59-235``, with locality instead of
+size classes).  Within a window, entries are classed by product count
+into fold LEVELS 0..3 (K = 2^level); an entry at level k owns the strided
+footprint ``{sigma + t * (W >> k)}`` and its total lands at
+``F_k[sigma]`` after k halving folds.  Entries with more than 8 products
+recurse through radix-8 FOLD TIERS (tier arenas ``V = W / 4^(t-1)``,
+supported while V >= 256 — the plan routes longer entries to wider
+windows, and rows beyond every window capability to the global
+slack-Clos fallback pool).  This is the TPU analog of the reference
+keeping each row's hash table in one thread block's shared memory
+(``HashSpGEMM.hpp:509-700``).
 """
 
 from __future__ import annotations
@@ -49,13 +37,19 @@ import numpy as np
 from nsparse_tpu.formats.csr import CSR
 
 LANES = 128
-WIN_MIN = 512
-N_WIN_CLASSES = 7     # widths WIN_MIN << j, j = 0..6 (max 32768)
+WIN_MIN = 1024
+N_WIN_CLASSES = 6     # widths WIN_MIN << j, j = 0..5 (max 32768)
 GAP_CHUNK = 1024      # zero-run chunking bounds in-kernel table reads
 # entry classes: fold level 0..3 (K = 1/2/4/8) + deep (len >= 9)
 CLS_K = (1, 2, 4, 8)
 DEEP = 4                        # class code for len >= 9 (units -> tiers)
-MAX_TIERS = 8                   # radix-8 recursion bound (W <= 8^8)
+MAX_TIERS = 8                   # radix-8 recursion bound
+BLK_MIN = 65536                 # fused-kernel slots per grid step
+# entry lengths coverable per width (tier arenas V = W/4^(t-1) >= 256)
+#   W in {1024, 2048} -> len <= 64; {4096, 8192} -> 512;
+#   {16384, 32768} -> 4096; longer entries -> fallback rows.
+LEN_CAPS = ((64, 1024), (512, 4096), (4096, 16384))
+LEN_MAX = 4096
 
 
 def _round_up(x: int, m: int) -> int:
@@ -63,19 +57,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cls_of(lens: np.ndarray) -> np.ndarray:
-    """Entry class code: fold level 0..3 for len <= 8 (total lands at
-    F_level[sigma]), DEEP for len >= 9 (one 8-fold L3 partial per 8
-    products; partials reduce in-window through the radix-8 tiers).
-    One searchsorted pass (class = #thresholds below len)."""
+    """Entry class code: fold level 0..3 for len <= 8, DEEP for len >= 9."""
     return np.searchsorted(
         np.asarray([1, 2, 4, 8], dtype=lens.dtype), lens, side="left"
     ).astype(np.int8)
 
 
+def _w_need_len(maxlen: np.ndarray) -> np.ndarray:
+    """Minimum window width whose tier ladder covers ``maxlen``-product
+    entries (0 = any width; beyond LEN_MAX the row falls back)."""
+    need = np.full(maxlen.shape, np.int64(1) << 62)
+    for cap, w in reversed(LEN_CAPS):
+        need = np.where(maxlen <= cap, w, need)
+    return np.where(maxlen <= 8, 0, need)
+
+
 def _take(starts_, lens_, need):
-    """Fill the per-window intervals (rows of starts_/lens_) left to right
-    with `need` slots; returns (allocated, prefix, rest starts, rest
-    lens)."""
+    """Fill the per-window intervals left to right with ``need`` slots."""
     n = starts_.shape[0]
     cum = np.cumsum(lens_, axis=1)
     prev = np.concatenate([np.zeros((n, 1), np.int64), cum[:, :-1]], axis=1)
@@ -84,10 +82,7 @@ def _take(starts_, lens_, need):
 
 
 def _by_capacity(starts_, lens_):
-    """Sort each window's intervals descending by length: most windows
-    then use ONE interval per level, and every interval is one extraction
-    run — run count (hence extraction subtiles and piece budgets) scales
-    with it."""
+    """Sort each window's intervals descending by length (fewest runs)."""
     o = np.argsort(-lens_, axis=1, kind="stable")
     return (
         np.take_along_axis(starts_, o, 1),
@@ -99,16 +94,12 @@ def _alloc_levels(width, c0, c1, c2, c3, uw):
     """Top-down fold-slot (sigma) allocation over pow2 windows.
 
     An entry at level k owns F0 footprint ``{sigma + t * (width >> k)}``;
-    free slots at level l map to interval PAIRS at level l-1, so the
-    allocation walks levels 3 -> 0 with doubling interval tables.  Deep
-    units (uw consecutive L3 slots) end-pack at the top of F3, level-3
-    singles (c3) sit just below; the interval chain then serves levels
-    2/1/0.  Because every footprint nests exactly, capacity is exact:
-    any per-window demand ``sum 2^k * n_k + 8 * uw <= width`` succeeds.
-
-    Returns ``(cls_ivs {level: (starts, alloc, prefix)}, g3, dstart)``
-    with g3 = level-3 singles region start, dstart = deep region start.
-    """
+    free slots at level l map to interval PAIRS at level l-1.  Deep units
+    (uw consecutive L3 slots) end-pack at the top of F3, level-3 singles
+    (c3) sit just below; the interval chain then serves levels 2/1/0.
+    Capacity is exact: any demand ``sum 2^k n_k + 8 uw <= width``
+    succeeds.  Returns ``(cls_ivs {level: (starts, alloc, prefix)}, g3,
+    dstart)``."""
     n = width.size
     w8 = width >> 3
     w4 = width >> 2
@@ -131,8 +122,6 @@ def _alloc_levels(width, c0, c1, c2, c3, uw):
         np.concatenate([rl1, rl1], axis=1),
     )
     a0, p0, _, _ = _take(s0, l0, c0)
-    # int32 tables: the per-entry interval searches gather (n_entries, k)
-    # blocks from these — half the traffic of int64 on the 1-core host
     c32 = lambda *xs: tuple(x.astype(np.int32) for x in xs)  # noqa: E731
     return (
         {0: c32(s0, a0, p0), 1: c32(s1, a1, p1), 2: c32(s2, a2, p2)},
@@ -142,11 +131,7 @@ def _alloc_levels(width, c0, c1, c2, c3, uw):
 
 def _group_rank(keys_win, keys_cls, sizes):
     """Rank (size-weighted prefix) of each item within its (window,
-    class) group, groups in input order (= entry id = C order).
-
-    ``keys_win`` is NON-DECREASING at every call site (items arrive in C
-    entry order and windows hold consecutive rows), so the rank is a
-    per-class segmented weighted cumsum — no lexsort."""
+    class) group; ``keys_win`` non-decreasing at every call site."""
     n = keys_win.size
     rank = np.empty(n, np.int32)
     for c in range(int(keys_cls.max(initial=0)) + 1):
@@ -156,9 +141,7 @@ def _group_rank(keys_win, keys_cls, sizes):
         kw = keys_win[ids]
         sz = sizes[ids].astype(np.int64)
         cs = np.cumsum(sz)
-        f = np.flatnonzero(
-            np.concatenate([[True], kw[1:] != kw[:-1]])
-        )
+        f = np.flatnonzero(np.concatenate([[True], kw[1:] != kw[:-1]]))
         cnt = np.diff(np.concatenate([f, [kw.size]]))
         base = np.repeat(cs[f] - sz[f], cnt)
         rank[ids] = cs - sz - base
@@ -168,45 +151,29 @@ def _group_rank(keys_win, keys_cls, sizes):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WindowStructure:
-    """Device routing for the window-arena numeric phase.
+    """Device routing for the fused window-arena numeric phase.
 
     Attributes:
-      benes: per active class, the window-local TileBenesPlan.
-      tiers: per active class, tuple of radix-8 tier TileBenesPlans
-        (tier t re-permutes the previous tier's F3 + a zero half).
-      extract: run-copy plan gathering every entry total (all tiers)
-        from the concatenated fold pyramids into the compact buffer.
-      fb_shuffle: global Clos for the fallback-ROW pool (expansion ->
-        bin-padded slabs), or None when no row falls back.
-      fb_lvl_idx: fallback chunk-level gather indices.
-      entry_benes: per pow2 arena bin, the batched per-window Benes that
-        reorders each window's extracted totals into C-entry order,
-        rotated by (C offset mod LANES) so the compaction reads every
-        window phase-matched (replaces the round-2 global assembly Clos:
-        the permutation factorizes per window, so 2*log2(P)-1 stages
-        route it instead of a slack-Clos over the padded global width).
-      merge: fixed-destination run-copy compacting c_val from the
-        entry-ordered arena (+ the fallback segment) — one monotone
-        phase-matched run per window (two on pow2 wrap) and one per
-        fallback row.
-      fb_perm: routed shuffle placing fallback results entry-sorted at
-        per-row phase-matched cursors in the fb segment.
+      benes: per active class, the window-local tier-1 TileBenesPlan
+        (products -> fold slots).
+      fused: per active class, the FusedClassPlan (folds + tiers +
+        extraction + entry order, one kernel).
+      merge: fixed-destination run-copy compacting ``c_val`` from the
+        class-major entry-ordered arena (+ the fallback segment).
+      fb_shuffle / fb_lvl_idx / fb_perm / fb_levels / fb_off / fb_len:
+        global slack-Clos fallback pool for rows beyond every window
+        capability (unchanged from round 3).
       class_geom: static ((base, slots, width, levels), ...) per class.
-      ebin_geom: static ((base, slots, P), ...) per entry bin.
-      tier_geom: static per class: ((V, n_slots, n_pad), ...) per tier —
-        arena width (2x the previous F3), real slots, Benes-padded slots.
-      fb_levels: static fallback slab classes (((L, cnt), ...), ...).
-      fb_off / fb_len: fallback expansion region (offset, length).
-      n_compact: length of the compact extraction output.
+      tier_geom: static per class: ((V, n_slots, n_pad), ...) per tier
+        (diagnostics; the device geometry lives in ``fused``).
+      n_compact: total class-arena length (merge source prefix).
     """
 
     benes: Tuple
-    tiers: Tuple
-    extract: object
+    fused: Tuple
+    merge: object
     fb_shuffle: object
     fb_lvl_idx: Tuple
-    entry_benes: Tuple
-    merge: object
     fb_perm: object
     class_geom: Tuple = dataclasses.field(metadata=dict(static=True))
     tier_geom: Tuple = dataclasses.field(metadata=dict(static=True))
@@ -214,9 +181,11 @@ class WindowStructure:
     fb_off: int = dataclasses.field(metadata=dict(static=True))
     fb_len: int = dataclasses.field(metadata=dict(static=True))
     n_compact: int = dataclasses.field(metadata=dict(static=True))
-    ebin_geom: Tuple = dataclasses.field(
-        default=(), metadata=dict(static=True)
-    )
+
+    @property
+    def tiers(self):
+        """Back-compat alias: per-class tier descriptors."""
+        return self.tier_geom
 
 
 def build_window_structure(
@@ -237,17 +206,21 @@ def build_window_structure(
     nnz_a: int,
     force: bool = False,
 ):
-    """Host-side: build the window structure + its piecewise expansion.
-
-    Returns ``(WindowStructure, PiecewisePlan)`` or None when the layout
-    is not applicable (no row fits a window).
-    """
-    from nsparse_tpu.ops.binning import bin_rows
+    """Host-side: build the fused window structure + its piecewise
+    expansion.  Returns ``(WindowStructure, PiecewisePlan)`` or None."""
     from nsparse_tpu.ops.kernels.piecewise import build_piecewise_plan
-    from nsparse_tpu.ops.kernels.runcopy import build_runcopy_plan
+    from nsparse_tpu.ops.kernels.runcopy import (
+        _build_for_tpu,
+        build_runcopy_plan,
+    )
     from nsparse_tpu.ops.kernels.shuffle_pallas import (
         build_shuffle_plan,
         build_tile_benes,
+    )
+    from nsparse_tpu.ops.kernels.window_fused import (
+        PYR_BIAS,
+        FusedClassPlan,
+        class_levels,
     )
     from nsparse_tpu.ops.spgemm import _build_slab_structure
 
@@ -266,10 +239,6 @@ def build_window_structure(
 
     if not (p_total and c_nnz):
         return None
-    # int32 everywhere on the per-product / per-slot axes: every hot pass
-    # below is memory-bound on a single host core, and all positions fit
-    # (expansion slots = p8 total + window padding stays < 2^31; guarded
-    # where fb_base is known)
     if p_total >= (1 << 31) - 1:
         raise ValueError("p_total exceeds int32 plan-build range")
     apos = np.asarray(apos, dtype=np.int32)
@@ -277,155 +246,522 @@ def build_window_structure(
     out_pos = np.asarray(out_pos, dtype=np.int32)
     ends = np.asarray(ends[:c_nnz], dtype=np.int32)
 
+    want_masks = _build_for_tpu() or jax.default_backend() == "tpu"
+
     # --- per-entry / per-row stats ------------------------------------
     starts = np.concatenate([np.zeros(1, np.int32), ends[:-1] + 1])
     lens = ends - starts + 1
-    _tick("stats/ends-lens")
     ecls = _cls_of(lens)
-    _tick("stats/cls")
-    units = np.where(ecls == DEEP, -(-lens // 8), 1)  # deep: ceil(len/8)
+    units = np.where(ecls == DEEP, -(-lens // 8), 1)
     kfac_e = np.where(
         ecls == DEEP, 8, np.array(CLS_K, np.int32)[np.minimum(ecls, 3)]
     )
-    slot_cost = kfac_e * units                        # window slots used
-    _tick("stats/units")
+    slot_cost = kfac_e * units
     row_of_entry = np.repeat(
         np.arange(m, dtype=np.int32), np.diff(c_rpt).astype(np.int64)
     )
-    _tick("stats/row-of-entry")
-    seg_len = deg_b[col_a]                       # products per A entry
+    seg_len = deg_b[col_a]
     seg8 = -(-seg_len // 8) * 8
-    # per-row sums: entries/A-entries are row-sorted, so boundary
-    # differences of one cumsum replace the bincount scatter passes
     cs8 = np.concatenate([[0], np.cumsum(seg8, dtype=np.int64)])
     p8_row = cs8[rpt_a[1:]] - cs8[rpt_a[:-1]]
     csc = np.concatenate([[0], np.cumsum(slot_cost, dtype=np.int64)])
     slab_row = csc[c_rpt[1:]] - csc[c_rpt[:-1]]
     weight = np.maximum(p8_row, slab_row)
-
-    # --- consecutive-row packing -----------------------------------------
-    # Windows hold CONSECUTIVE C rows, so each window's entries are one
-    # contiguous C span: the final assembly becomes one monotone run per
-    # window (plus wrap) instead of an element-granular merge, the
-    # per-window entry rank is ``entry_id - first_entry``, and the row ->
-    # window map follows the reference's row-binning role
-    # (``template.cu:59-235``) with locality instead of size classes.
-    # Rows accumulate into a W_TARGET window until it would overflow;
-    # heavier rows get a solo next-pow2 window; rows beyond the largest
-    # width fall back to the global slab pool.
+    # per-row max entry length -> minimum tier-capable width
+    maxlen_row = np.zeros(m, np.int64)
+    nz_rows = np.flatnonzero(np.diff(c_rpt) > 0)
+    if nz_rows.size:
+        maxlen_row[nz_rows] = np.maximum.reduceat(
+            lens.astype(np.int64), c_rpt[nz_rows].astype(np.int64)
+        )
+    w_need = _w_need_len(maxlen_row)
     _tick("stats")
-    W_MAX = WIN_MIN << (N_WIN_CLASSES - 1)
-    W_TARGET = min(2048, W_MAX)
-    live = weight > 0
-    fb_mask = weight > W_MAX
-    fb_rows = np.flatnonzero(fb_mask)
-    if not np.any(live & ~fb_mask):
-        return None
 
-    # one greedy walk over all non-fallback rows (weight-0 rows join
-    # their neighbors' window for free, so empty rows never split a
-    # span).  A window's first row sets its allowance
-    # max(W_TARGET, next_pow2(first need)): a heavy row opens a wide
-    # window that subsequent rows then FILL (occupancy) without growing
-    # it; runs break only at fallback rows.  One loop iteration per
-    # WINDOW (searchsorted jumps), not per row.
-    nf = np.flatnonzero(~fb_mask)
-    cls_windows = [[] for _ in range(N_WIN_CLASSES)]
-    if nf.size:
-        p8s = p8_row[nf]
-        sls = slab_row[nf]
-        gapb = np.flatnonzero(np.diff(np.concatenate([[-2], nf])) != 1)
-        seg_of = np.zeros(nf.size, np.int64)
-        seg_of[gapb] = 1
-        seg_of = np.cumsum(seg_of) - 1
-        nsm = nf.size
-        cp8 = np.concatenate([[0], np.cumsum(p8s)])
-        csl = np.concatenate([[0], np.cumsum(sls)])
-        run_end = np.concatenate([gapb[1:], [nsm]])
-        run_end_of = run_end[seg_of]
-        i = 0
-        while i < nsm:
-            hi = int(run_end_of[i])
-            first_need = max(int(p8s[i]), int(sls[i]), WIN_MIN)
-            w_allow = max(W_TARGET, 1 << (first_need - 1).bit_length())
-            j_p8 = np.searchsorted(
-                cp8, cp8[i] + w_allow, side="right"
-            ) - 1
-            j_sl = np.searchsorted(
-                csl, csl[i] + w_allow, side="right"
-            ) - 1
-            j = max(i + 1, min(j_p8, j_sl, hi))
-            need = max(int(cp8[j] - cp8[i]), int(csl[j] - csl[i]))
-            if need > 0:
-                W = 1 << (max(need, WIN_MIN) - 1).bit_length()
-                jcls = (W // WIN_MIN).bit_length() - 1
-                cls_windows[jcls].append(nf[i:j])
-            i = j
-    for j in range(N_WIN_CLASSES):
-        cls_windows[j].sort(key=lambda a: int(a[0]))
-    _tick("packing")
-    # --- class geometry (padded with identity windows) ----------------
-    active = [j for j in range(N_WIN_CLASSES) if cls_windows[j]]
-    class_base = {}
-    class_slots = {}
-    class_nw_real = {}
-    class_nw = {}
-    off = 0
-    for j in active:
-        W = WIN_MIN << j
-        n_real = len(cls_windows[j])
-        slots = _round_up(n_real * W, max(32768, W))
-        class_base[j] = off
-        class_slots[j] = slots
-        class_nw_real[j] = n_real
-        class_nw[j] = slots // W
-        off += slots
-    fb_base = off
-    if fb_base + int(p8_row[fb_rows].sum()) >= (1 << 31) - 1:
-        raise ValueError("expansion exceeds int32 plan-build range")
+    w_need = w_need.copy()
+    for _attempt in range(8):
+        # --- consecutive-row packing --------------------------------------
+        W_MAX = WIN_MIN << (N_WIN_CLASSES - 1)
+        W_TARGET = min(2048, W_MAX)
+        live = weight > 0
+        fb_mask = (weight > W_MAX) | (maxlen_row > LEN_MAX) | (w_need > W_MAX)
+        fb_rows = np.flatnonzero(fb_mask)
+        if not np.any(live & ~fb_mask):
+            return None
 
-    win_base = []
-    win_width = []
-    win_class = []
-    win_loc = []       # window index within its class (real windows)
-    win_frow = []      # first (lowest) row id of the window
-    win_lrow = []      # last row id (rows are consecutive)
-    class_wid0 = {}    # first global window id of each class
-    win_of_row = np.full(m, -1, np.int32)
-    wid = 0
-    for j in active:
-        W = WIN_MIN << j
-        class_wid0[j] = wid
-        for wl, rows in enumerate(cls_windows[j]):
-            win_base.append(class_base[j] + wl * W)
-            win_width.append(W)
-            win_class.append(j)
-            win_loc.append(wl)
-            win_frow.append(rows[0])
-            win_lrow.append(rows[-1])
-            win_of_row[rows] = wid
-            wid += 1
-    n_wins = wid
-    win_base = np.asarray(win_base, np.int32)
-    win_width = np.asarray(win_width, np.int32)
-    win_class = np.asarray(win_class, np.int32)
-    win_loc = np.asarray(win_loc, np.int32)
-    win_frow = np.asarray(win_frow, np.int64)
-    win_lrow = np.asarray(win_lrow, np.int64)
+        nf = np.flatnonzero(~fb_mask)
+        cls_windows = [[] for _ in range(N_WIN_CLASSES)]
+        if nf.size:
+            p8s = p8_row[nf]
+            sls = slab_row[nf]
+            wns = w_need[nf]
+            gapb = np.flatnonzero(np.diff(np.concatenate([[-2], nf])) != 1)
+            seg_of = np.zeros(nf.size, np.int64)
+            seg_of[gapb] = 1
+            seg_of = np.cumsum(seg_of) - 1
+            nsm = nf.size
+            cp8 = np.concatenate([[0], np.cumsum(p8s)])
+            csl = np.concatenate([[0], np.cumsum(sls)])
+            run_end = np.concatenate([gapb[1:], [nsm]])
+            run_end_of = run_end[seg_of]
+            i = 0
+            while i < nsm:
+                hi = int(run_end_of[i])
+                first_need = max(
+                    int(p8s[i]), int(sls[i]), WIN_MIN, int(wns[i])
+                )
+                w_allow = max(W_TARGET, 1 << (first_need - 1).bit_length())
+                j_p8 = np.searchsorted(cp8, cp8[i] + w_allow, side="right") - 1
+                j_sl = np.searchsorted(csl, csl[i] + w_allow, side="right") - 1
+                j = max(i + 1, min(j_p8, j_sl, hi))
+                # rows needing a wider tier ladder than this window allows
+                # must start their own window
+                over = np.flatnonzero(wns[i + 1 : j] > w_allow)
+                if over.size:
+                    j = i + 1 + int(over[0])
+                need = max(int(cp8[j] - cp8[i]), int(csl[j] - csl[i]))
+                if need > 0:
+                    wseg = int(wns[i:j].max(initial=0))
+                    W = 1 << (max(need, WIN_MIN, wseg) - 1).bit_length()
+                    jcls = (W // WIN_MIN).bit_length() - 1
+                    cls_windows[jcls].append(nf[i:j])
+                i = j
+        for j in range(N_WIN_CLASSES):
+            cls_windows[j].sort(key=lambda a: int(a[0]))
+        _tick("packing")
 
-    _tick("geometry")
+        # --- class geometry (padded with identity windows) ----------------
+        active = [j for j in range(N_WIN_CLASSES) if cls_windows[j]]
+        class_base = {}
+        class_slots = {}
+        class_nw_real = {}
+        class_nw = {}
+        off = 0
+        for j in active:
+            W = WIN_MIN << j
+            n_real = len(cls_windows[j])
+            slots = _round_up(n_real * W, max(BLK_MIN, W))
+            class_base[j] = off
+            class_slots[j] = slots
+            class_nw_real[j] = n_real
+            class_nw[j] = slots // W
+            off += slots
+        fb_base = off
+        if fb_base + int(p8_row[fb_rows].sum()) >= (1 << 31) - 1:
+            raise ValueError("expansion exceeds int32 plan-build range")
+
+        win_base = []
+        win_width = []
+        win_class = []
+        win_loc = []
+        win_frow = []
+        win_lrow = []
+        class_wid0 = {}
+        win_of_row = np.full(m, -1, np.int32)
+        wid = 0
+        for j in active:
+            W = WIN_MIN << j
+            class_wid0[j] = wid
+            for wl, rows in enumerate(cls_windows[j]):
+                win_base.append(class_base[j] + wl * W)
+                win_width.append(W)
+                win_class.append(j)
+                win_loc.append(wl)
+                win_frow.append(rows[0])
+                win_lrow.append(rows[-1])
+                win_of_row[rows] = wid
+                wid += 1
+        n_wins = wid
+        win_base = np.asarray(win_base, np.int32)
+        win_width = np.asarray(win_width, np.int32)
+        win_class = np.asarray(win_class, np.int32)
+        win_loc = np.asarray(win_loc, np.int32)
+        win_frow = np.asarray(win_frow, np.int64)
+        win_lrow = np.asarray(win_lrow, np.int64)
+        _tick("geometry")
+
+        # --- tier-1 fold-slot (sigma) allocation per (window, class) -------
+        win_of_entry = win_of_row[row_of_entry]
+        went = np.flatnonzero(win_of_entry >= 0)
+        we_win = win_of_entry[went]
+        we_cls = ecls[went]
+        cnt_wc = np.bincount(
+            we_win.astype(np.int64) * 5 + we_cls, weights=units[went],
+            minlength=n_wins * 5,
+        ).astype(np.int64).reshape(n_wins, 5)
+        c0w = cnt_wc[:, 0]
+        c1w = cnt_wc[:, 1]
+        c2w = cnt_wc[:, 2]
+        c3w = cnt_wc[:, 3]
+        uw = cnt_wc[:, DEEP]
+        cls_ivs, g3w, dstartw = _alloc_levels(win_width, c0w, c1w, c2w, c3w, uw)
+
+        lens64 = lens.astype(np.int64)
+        rank_went = _group_rank(we_win, we_cls, units[went])
+        rank_of_entry = np.full(c_nnz, -1, np.int32)
+        rank_of_entry[went] = rank_went
+        _tick("slab/rank")
+
+        sigma_of_entry = np.full(c_nnz, -1, np.int32)
+        iv_of_entry = np.full(c_nnz, -1, np.int32)
+        for cls in (0, 1, 2):
+            ids = went[we_cls == cls]
+            if not ids.size:
+                continue
+            wv_ = win_of_entry[ids]
+            rr = rank_of_entry[ids]
+            st_, al_, pv_ = cls_ivs[cls]
+            iv = np.zeros(ids.size, np.int32)
+            ncols = st_.shape[1]
+            if ncols > 1:
+                hi = np.flatnonzero(rr >= pv_[wv_, 1])
+                if hi.size:
+                    rrh = rr[hi]
+                    wvh = wv_[hi]
+                    ivh = np.ones(hi.size, np.int32)
+                    for k in range(2, ncols):
+                        ivh += rrh >= pv_[wvh, k]
+                    iv[hi] = np.minimum(ivh, ncols - 1)
+            sigma_of_entry[ids] = st_[wv_, iv] + rr - pv_[wv_, iv]
+            iv_of_entry[ids] = iv
+        ids3 = went[we_cls == 3]
+        sigma_of_entry[ids3] = g3w[win_of_entry[ids3]] + rank_of_entry[ids3]
+        iv_of_entry[ids3] = 0
+        deep_ids0 = went[we_cls == DEEP]
+        dwin0 = win_of_entry[deep_ids0]
+        sigma_of_entry[deep_ids0] = dstartw[dwin0] + rank_of_entry[deep_ids0]
+        iv_of_entry[deep_ids0] = 0
+        _tick("slab-layout")
+
+        # --- class fold-level table --------------------------------------
+        class_geom = []
+        lvl_need = {}
+        for j in active:
+            W = WIN_MIN << j
+            wins_j = np.flatnonzero(win_class == j)
+            lv = 0
+            if np.any(c1w[wins_j] > 0):
+                lv = 1
+            if np.any(c2w[wins_j] > 0):
+                lv = 2
+            if np.any((c3w[wins_j] > 0) | (uw[wins_j] > 0)):
+                lv = 3
+            lvl_need[j] = lv
+            class_geom.append((class_base[j], class_slots[j], W, lv))
+
+        # --- runs + entry positions (fused form) ---------------------------
+        # Global run tables: (window, level_id, start, len); level_id indexes
+        # the per-class PYR level layout (0 = F0, 1..lv = F_k, then 3 levels
+        # per tier).  ``ent_run``/``ent_off`` give each finished entry its
+        # run + offset; E positions follow from the per-window cursor walk.
+        run_win_l, run_lvl_l, run_src_l, run_len_l = [], [], [], []
+        run_id = 0
+        ent_run = np.full(c_nnz, -1, np.int32)
+        ent_off = np.zeros(c_nnz, np.int32)
+
+        def _emit(wins_sel, lvl, srcs, lens_, tab, wid0=0):
+            nonlocal run_id
+            run_win_l.append(np.asarray(wins_sel, np.int64) + wid0)
+            run_lvl_l.append(np.full(wins_sel.size, lvl, np.int32))
+            run_src_l.append(np.asarray(srcs, np.int64))
+            run_len_l.append(np.asarray(lens_, np.int64))
+            tab[wins_sel] = run_id + np.arange(wins_sel.size)
+            run_id += wins_sel.size
+
+        rid_iv = np.full((n_wins, 3, 8), -1, np.int64)
+        rid_c3 = np.full(n_wins, -1, np.int64)
+        for cls in (0, 1, 2):
+            st_, al_, pv_ = cls_ivs[cls]
+            for i in range(st_.shape[1]):
+                wsel = np.flatnonzero(al_[:, i] > 0)
+                if not wsel.size:
+                    continue
+                _emit(wsel, cls, st_[wsel, i], al_[wsel, i], rid_iv[:, cls, i])
+        w3 = np.flatnonzero(c3w > 0)
+        if w3.size:
+            _emit(w3, 3, g3w[w3], c3w[w3], rid_c3)
+
+        small_ids = went[we_cls <= 2]
+        sw = win_of_entry[small_ids]
+        sc = ecls[small_ids]
+        siv = iv_of_entry[small_ids]
+        ent_run[small_ids] = rid_iv[sw, sc, siv]
+        for cls in (0, 1, 2):
+            m_ = small_ids[sc == cls]
+            _, _, pv_c = cls_ivs[cls]
+            ent_off[m_] = (
+                rank_of_entry[m_] - pv_c[win_of_entry[m_], iv_of_entry[m_]]
+            )
+        ent_run[ids3] = rid_c3[win_of_entry[ids3]]
+        ent_off[ids3] = rank_of_entry[ids3]
+        _tick("runs/tier1")
+
+        # --- radix-8 tiers (lite: allocation + runs; routing deferred) -----
+        tier_perm_cls = []    # per active class: [(global perm, V, mode), ...]
+        tier_meta_cls = []    # per active class: [(v_in, V, mode), ...]
+        tier_geoms = []       # per active class: [(V, n_slots, n_pad), ...]
+        for (base, slots, W, lv), j in zip(class_geom, active):
+            BLK = max(BLK_MIN, W)
+            NWB = BLK // W
+            perms_j, meta_j, geoms_j = [], [], []
+            wid0 = class_wid0[j]
+            n_w_t = class_nw[j]
+            d_sel = deep_ids0[win_class[win_of_entry[deep_ids0]] == j]
+            items = d_sel
+            u = units[items]
+            sprev = sigma_of_entry[items]
+            wloc = win_loc[win_of_entry[items]]
+            v_in = W >> 3
+            tier = 2
+            lvl_next = lv + 1
+            while items.size:
+                if tier > MAX_TIERS:
+                    raise AssertionError("tier recursion failed to terminate")
+                V = 2 * v_in
+                if V < 256:
+                    raise AssertionError(
+                        f"tier arena V={V} < 256 in class W={W} — "
+                        "w_need routing should have prevented this"
+                    )
+                n_slots = n_w_t * V
+                kk = np.where(u <= 2, 1,
+                              np.where(u <= 4, 2,
+                                       np.where(u <= 8, 3, DEEP))
+                              ).astype(np.int8)
+                un = np.where(kk == DEEP, -(-u // 8), 1).astype(np.int32)
+                cnt = np.bincount(
+                    wloc.astype(np.int64) * 5 + kk, weights=un,
+                    minlength=n_w_t * 5,
+                ).astype(np.int64).reshape(n_w_t, 5)
+                wv_t = np.full(n_w_t, V, np.int64)
+                civ, g3t, dstt = _alloc_levels(
+                    wv_t, cnt[:, 0], cnt[:, 1], cnt[:, 2], cnt[:, 3],
+                    cnt[:, DEEP],
+                )
+                rk = _group_rank(wloc, kk, un)
+                sig_t = np.empty(items.size, np.int32)
+                iv_t = np.zeros(items.size, np.int32)
+                for cls in (1, 2):
+                    m_ = np.flatnonzero(kk == cls)
+                    if not m_.size:
+                        continue
+                    st_, al_, pv_ = civ[cls]
+                    iv = (rk[m_][:, None] >= pv_[wloc[m_]]).sum(
+                        axis=1, dtype=np.int32
+                    ) - 1
+                    iv = np.minimum(iv, st_.shape[1] - 1)
+                    sig_t[m_] = st_[wloc[m_], iv] + rk[m_] - pv_[wloc[m_], iv]
+                    iv_t[m_] = iv
+                m3 = np.flatnonzero(kk == 3)
+                sig_t[m3] = g3t[wloc[m3]] + rk[m3]
+                md = np.flatnonzero(kk == DEEP)
+                sig_t[md] = dstt[wloc[md]] + rk[md]
+
+                nper = u
+                ii = np.repeat(np.arange(items.size, dtype=np.int32), nper)
+                cumn = np.concatenate(
+                    [np.zeros(1, np.int32),
+                     np.cumsum(nper, dtype=np.int32)[:-1]]
+                )
+                s = np.arange(int(nper.sum()), dtype=np.int32) - np.repeat(
+                    cumn, nper
+                )
+                kki = kk[ii]
+                stride = np.int32(V) >> np.minimum(kki, 3).astype(np.int32)
+                tts = np.where(kki == DEEP, s & 7, s)
+                sgf = np.where(kki == DEEP, sig_t[ii] + (s >> 3), sig_t[ii])
+                dstp = wloc[ii] * np.int64(V) + sgf + tts * stride
+                srcp = wloc[ii] * np.int64(V) + sprev[ii] + s
+                fsz = np.where(kk == DEEP, 8 * un, 1 << np.minimum(kk, 3))
+                tail = fsz - u
+                ti = np.repeat(np.arange(items.size, dtype=np.int32), tail)
+                cumt = np.concatenate(
+                    [np.zeros(1, np.int32),
+                     np.cumsum(tail, dtype=np.int32)[:-1]]
+                )
+                st2 = u[ti] + (
+                    np.arange(int(tail.sum()), dtype=np.int32)
+                    - np.repeat(cumt, tail)
+                )
+                kkt = kk[ti]
+                stridet = np.int32(V) >> np.minimum(kkt, 3).astype(np.int32)
+                ttt = np.where(kkt == DEEP, st2 & 7, st2)
+                sgt = np.where(kkt == DEEP, sig_t[ti] + (st2 >> 3), sig_t[ti])
+                dstt_p = wloc[ti] * np.int64(V) + sgt + ttt * stridet
+                zrank = _group_rank(
+                    wloc[ti], np.zeros(ti.size, np.int8),
+                    np.ones(ti.size, np.int32),
+                )
+                srct_p = wloc[ti] * np.int64(V) + np.int64(v_in) + zrank
+                permt = np.full(n_slots, -1, np.int32)
+                permt[dstp] = srcp
+                permt[dstt_p] = srct_p
+                usedt = np.zeros(n_slots, bool)
+                usedt[srcp] = True
+                usedt[srct_p] = True
+                emptyt = np.flatnonzero(permt == -1)
+                permt[emptyt] = np.flatnonzero(~usedt)
+                t_rows_blk = NWB * V // LANES
+                mode = "trans" if t_rows_blk % LANES == 0 else "lane"
+                perms_j.append((permt, int(V), mode))
+                meta_j.append((int(v_in), int(V), mode))
+                geoms_j.append((int(V), int(n_slots), int(n_slots)))
+
+                rid_t = np.full((n_w_t, 3, 8), -1, np.int64)
+                rid_t3 = np.full(n_w_t, -1, np.int64)
+                for cls in (1, 2):
+                    st_, al_, pv_ = civ[cls]
+                    for i in range(st_.shape[1]):
+                        wsel = np.flatnonzero(al_[:, i] > 0)
+                        if not wsel.size:
+                            continue
+                        _emit(
+                            wsel, lvl_next + cls - 1, st_[wsel, i],
+                            al_[wsel, i], rid_t[:, cls, i],
+                            wid0=class_wid0[j],
+                        )
+                w3t = np.flatnonzero(cnt[:, 3] > 0)
+                if w3t.size:
+                    _emit(
+                        w3t, lvl_next + 2, g3t[w3t], cnt[w3t, 3], rid_t3,
+                        wid0=class_wid0[j],
+                    )
+                fin = kk <= 3
+                fi = items[fin]
+                kf = kk[fin]
+                ent_off[fi] = rk[fin]
+                is3 = kf == 3
+                ent_run[fi[is3]] = rid_t3[wloc[fin][is3]]
+                for cls in (1, 2):
+                    mc = np.flatnonzero(kf == cls)
+                    if not mc.size:
+                        continue
+                    _, _, pv_ = civ[cls]
+                    wl_ = wloc[fin][mc]
+                    ent_run[fi[mc]] = rid_t[wl_, cls, iv_t[fin][mc]]
+                    ent_off[fi[mc]] = rk[fin][mc] - pv_[wl_, iv_t[fin][mc]]
+
+                nxt = kk == DEEP
+                items = items[nxt]
+                u = un[nxt]
+                sprev = sig_t[nxt]
+                wloc = wloc[nxt]
+                v_in = V >> 3
+                tier += 1
+                lvl_next += 3
+            tier_perm_cls.append(perms_j)
+            tier_meta_cls.append(meta_j)
+            tier_geoms.append(tuple(geoms_j))
+        _tick("tiers")
+
+        # --- per-window run chain + phase-matched cursor -------------------
+        all_win = np.concatenate(run_win_l) if run_win_l else np.zeros(
+            0, np.int64
+        )
+        all_lvl = np.concatenate(run_lvl_l) if run_lvl_l else np.zeros(
+            0, np.int32
+        )
+        all_src = np.concatenate(run_src_l) if run_src_l else np.zeros(
+            0, np.int64
+        )
+        all_len = np.concatenate(run_len_l) if run_len_l else np.zeros(
+            0, np.int64
+        )
+
+        # per-class level layouts (width, rows_per_win, base_rows_per_win)
+        levels_cls = {}
+        for (base, slots, W, lv), j, meta_j in zip(
+            class_geom, active, tier_meta_cls
+        ):
+            levels_cls[j] = class_levels(W, lv, [V for _, V, _ in meta_j])
+
+        # run source phase: levels are row-aligned per window, so the phase
+        # is the in-level offset mod 128
+        ordw = np.argsort(all_win, kind="stable")
+        srt_w = all_win[ordw]
+        srt_s = all_src[ordw]
+        srt_l = all_len[ordw]
+        wfirst = np.flatnonzero(np.diff(np.concatenate([[-1], srt_w])) != 0)
+        wcnt = np.diff(np.concatenate([wfirst, [srt_w.size]]))
+        wlist = srt_w[wfirst]
+
+        if srt_w.size:
+            p_ph = (srt_s % LANES).astype(np.int64)
+            q_ph = ((srt_s + srt_l) % LANES).astype(np.int64)
+            chain = np.empty(srt_w.size, np.int64)
+            pos = 0
+            for k0, cnt in zip(wfirst, wcnt):
+                k0 = int(k0)
+                cnt = int(cnt)
+                if cnt == 1:
+                    chain[pos] = k0
+                    pos += 1
+                    continue
+                buckets = {}
+                for i in range(k0 + cnt - 1, k0 - 1, -1):
+                    buckets.setdefault(int(p_ph[i]), []).append(i)
+                taken = [False] * cnt
+                cur = 0
+                scan = 0
+                for _ in range(cnt):
+                    i = -1
+                    lst = buckets.get(cur)
+                    while lst:
+                        cand2 = lst.pop()
+                        if not taken[cand2 - k0]:
+                            i = cand2
+                            break
+                    if i < 0:
+                        while taken[scan]:
+                            scan += 1
+                        i = k0 + scan
+                    taken[i - k0] = True
+                    chain[pos] = i
+                    pos += 1
+                    cur = int(q_ph[i])
+            ordw = ordw[chain]
+            srt_w = all_win[ordw]
+            srt_s = all_src[ordw]
+            srt_l = all_len[ordw]
+        gap = np.empty(srt_w.size, np.int64)
+        if srt_w.size:
+            gap[0] = srt_s[0] % LANES
+            gap[1:] = (srt_s[1:] - srt_s[:-1] - srt_l[:-1]) % LANES
+            gap[wfirst] = srt_s[wfirst] % LANES
+        csum = np.cumsum(gap + srt_l)
+        seg0 = np.repeat(csum[wfirst] - (gap[wfirst] + srt_l[wfirst]), wcnt)
+        d_loc = csum - seg0 - srt_l
+        wlast = np.concatenate([wfirst[1:], [srt_w.size]]) - 1
+        curw = csum[wlast] - seg0[wlast] if srt_w.size else np.zeros(
+            0, np.int64
+        )
+        cur_of_win = np.zeros(n_wins, np.int64)
+        cur_of_win[wlist] = curw
+        bad = np.flatnonzero(cur_of_win > win_width)
+        if bad.size:
+            # phase gaps overflowed the E arena: force the rows of each
+            # offending window into the next width class and repack (rows
+            # forced beyond W_MAX fall back to the global pool)
+            for wbad in bad:
+                lo, hi = int(win_frow[wbad]), int(win_lrow[wbad])
+                w_need[lo : hi + 1] = np.maximum(
+                    w_need[lo : hi + 1], 2 * int(win_width[wbad])
+                )
+            _tick(f"cursor-retry({bad.size})")
+            continue
+        d_run = np.empty_like(d_loc)
+        d_run[ordw] = d_loc
+        _tick("cursor")
+        break
+
+    else:
+        raise AssertionError("window packing failed to converge")
+
     # --- expansion layout: run placement per A entry -------------------
     w_rows = (
         np.concatenate([r for j in active for r in cls_windows[j]])
         if n_wins else np.zeros(0, np.int64)
     )
     fb_len = int(p8_row[fb_rows].sum())
-    # per-run placement, runs of a window sorted by DESCENDING length:
-    # the expansion kernel's piece budget is a per-supertile class (one
-    # run-dense subtile drags 8 subtiles to a high-J class), so
-    # clustering short runs together concentrates the high-J cost on few
-    # supertiles; the Benes absorbs any in-window order.  Fallback rows
-    # keep A-entry-major order (the pool's padding math relies on it).
     row_of_ae = np.repeat(np.arange(m, dtype=np.int64), deg_a)
     g_ae = win_of_row[row_of_ae]
     g_ae = np.where(g_ae < 0, n_wins, g_ae)
@@ -444,7 +780,6 @@ def build_window_structure(
     run_start_ae = np.empty(nnz_a, np.int64)
     run_start_ae[ordae] = run_start_sorted
 
-    # gap zero-runs: per real window the unused tail, per pad window all
     gap_starts, gap_lens = [], []
     used_w = np.bincount(
         win_of_row[w_rows], weights=p8_row[w_rows], minlength=n_wins
@@ -470,8 +805,8 @@ def build_window_structure(
     cum = np.concatenate([[0], np.cumsum(nch)[:-1]])
     kin = np.arange(gch.size, dtype=np.int64) - np.repeat(cum, nch)
     gap_run_start = gch + kin * GAP_CHUNK
-
     _tick("run-placement")
+
     # --- piecewise expansion plan (aligned-bank mode) ------------------
     deg8 = -(-deg_b // 8) * 8
     rpt8 = np.zeros(deg8.size + 1, dtype=np.int64)
@@ -481,8 +816,6 @@ def build_window_structure(
     off_in = np.arange(b8_len, dtype=np.int64) - rpt8[rowb]
     b8_idx = np.where(off_in < deg_b[rowb], rpt_b[rowb] + off_in, -1)
 
-    # zero-length runs (empty B rows) would TIE with the next run at the
-    # same start and can shadow it in the piece enumeration — drop them
     keep = seg8 > 0
     run_start = np.concatenate([run_start_ae[keep], gap_run_start])
     run_boff = np.concatenate([
@@ -498,572 +831,244 @@ def build_window_structure(
         run_start[ordr], run_boff[ordr], run_aidx[ordr], exp_n, nnz_a,
         b8_len, b8_idx=b8_idx,
     )
-
     _tick("piecewise-plan")
-    # --- tier-1 fold-slot (sigma) allocation per (window, class) -------
-    win_of_entry = win_of_row[row_of_entry]
-    went = np.flatnonzero(win_of_entry >= 0)
-    we_win = win_of_entry[went]
-    we_cls = ecls[went]
-    _tick("slab/went")
-    cnt_wc = np.bincount(
-        we_win.astype(np.int64) * 5 + we_cls, weights=units[went],
-        minlength=n_wins * 5,
-    ).astype(np.int64).reshape(n_wins, 5)
-    _tick("slab/cnt")
-    c0w = cnt_wc[:, 0]
-    c1w = cnt_wc[:, 1]
-    c2w = cnt_wc[:, 2]
-    c3w = cnt_wc[:, 3]
-    uw = cnt_wc[:, DEEP]
-    cls_ivs, g3w, dstartw = _alloc_levels(
-        win_width, c0w, c1w, c2w, c3w, uw
-    )
 
-    # member rank within the (window, class) group
-    rank_went = _group_rank(we_win, we_cls, units[went])
-    rank_of_entry = np.full(c_nnz, -1, np.int32)
-    rank_of_entry[went] = rank_went
-    _tick("slab/rank")
-
-    # sigma + interval id per entry (rank mapped through the intervals):
-    # pv_ rows are the ascending per-window allocation prefix, so the
-    # interval id is one vectorized rank-vs-prefix comparison
-    sigma_of_entry = np.full(c_nnz, -1, np.int32)
-    iv_of_entry = np.full(c_nnz, -1, np.int32)
-    for cls in (0, 1, 2):
-        ids = went[we_cls == cls]
-        if not ids.size:
-            continue
-        wv_ = win_of_entry[ids]
-        rr = rank_of_entry[ids]
-        st_, al_, pv_ = cls_ivs[cls]
-        # interval 0 covers most entries (_by_capacity puts the largest
-        # interval first): search the remaining columns only on the
-        # minority past interval 0 — no (n, k) broadcast block
-        iv = np.zeros(ids.size, np.int32)
-        ncols = st_.shape[1]
-        if ncols > 1:
-            hi = np.flatnonzero(rr >= pv_[wv_, 1])
-            if hi.size:
-                rrh = rr[hi]
-                wvh = wv_[hi]
-                ivh = np.ones(hi.size, np.int32)
-                for k in range(2, ncols):
-                    ivh += rrh >= pv_[wvh, k]
-                iv[hi] = np.minimum(ivh, ncols - 1)
-        sigma_of_entry[ids] = st_[wv_, iv] + rr - pv_[wv_, iv]
-        iv_of_entry[ids] = iv
-    _tick("slab/ivs")
-    ids3 = went[we_cls == 3]
-    sigma_of_entry[ids3] = (
-        g3w[win_of_entry[ids3]] + rank_of_entry[ids3]
-    )
-    iv_of_entry[ids3] = 0
-    deep_ids0 = went[we_cls == DEEP]
-    dwin0 = win_of_entry[deep_ids0]  # end-packed: [w8 - U, w8)
-    sigma_of_entry[deep_ids0] = (
-        dstartw[dwin0] + rank_of_entry[deep_ids0]
-    )
-    iv_of_entry[deep_ids0] = 0
-
-    _tick("slab-layout")
-    # --- tier-1 Benes permutations per class ----------------------------
+    # --- tier-1 Benes permutations per class ---------------------------
     delta = (run_start_ae - rpt_b[col_a]).astype(np.int32)
-    exp_p = delta[apos] + bpos  # global expansion position per product
-    # per-product values expand per-ENTRY precomputes with np.repeat —
-    # sequential writes at half the passes of gathering through out_pos
+    exp_p = delta[apos] + bpos
     wv_e = np.maximum(win_of_entry, 0)
     deep_e = ecls == DEEP
     stride_e = (
         win_width[wv_e] >> np.minimum(ecls, np.int8(3))
     ).astype(np.int32)
     base_e = win_base[wv_e] + sigma_of_entry
-    lens64 = lens.astype(np.int64)
     sel = np.repeat(win_of_entry >= 0, lens64)
     t_p = np.arange(p_total, dtype=np.int32)
     t_p -= np.repeat(starts, lens64)
     is_deep = np.repeat(deep_e, lens64)
-    _tick("benes/perm-gathers")
-    # fold stride W >> level; deep: unit sigma + within-unit t, stride W/8
     tt = np.where(is_deep, t_p & 7, t_p)
     slot_p = np.repeat(base_e, lens64)
     slot_p += np.where(is_deep, t_p >> 3, 0)
     slot_p += tt * np.repeat(stride_e, lens64)
-    _tick("benes/perm-slots")
     perm = np.full(fb_base, -1, np.int32)
     perm[slot_p[sel]] = exp_p[sel]
     used = np.zeros(fb_base, bool)
     used[exp_p[sel]] = True
     empty = np.flatnonzero(perm == -1)
-    perm[empty] = np.flatnonzero(~used)  # per-window counts match
-    _tick("benes/perm-fill")
+    perm[empty] = np.flatnonzero(~used)
+    _tick("benes/perm")
     benes = []
-    class_geom = []
-    lvl_need = {}
     for j in active:
         W = WIN_MIN << j
         base, slots = class_base[j], class_slots[j]
-        # sources stay inside their window, so the window-local index is a
-        # pow2 mask of the class-local position (no modulo)
         local = (perm[base : base + slots] - np.int32(base)) & np.int32(
             W - 1
         )
-        _tick(f"benes/local-W{W}")
         benes.append(build_tile_benes(local, W))
-        _tick(f"benes/route-W{W}")
-        wins_j = np.flatnonzero(win_class == j)
-        lv = 0
-        if np.any(c1w[wins_j] > 0):
-            lv = 1
-        if np.any(c2w[wins_j] > 0):
-            lv = 2
-        if np.any((c3w[wins_j] > 0) | (uw[wins_j] > 0)):
-            lv = 3
-        lvl_need[j] = lv
-        class_geom.append((base, slots, W, lv))
-
     _tick("benes-route")
-    # --- radix-8 fold tiers + unified extraction runs ------------------
-    # Host mirror of the device parts sequence: per class j the tier-1
-    # pyramid [F0 | F1 | .. | F_lv], then per tier t >= 2 its fold levels
-    # [T_F1 | T_F2 | T_F3] (the tier's L0 arena is never extracted).
-    lvloff = {}            # (class j, tier, level) -> src offset
-    tier_plans = []        # per active class: [TileBenesPlan, ...]
-    tier_geoms = []        # per active class: [(V, n_slots, n_pad), ...]
-    run_src, run_len, run_win = [], [], []
-    run_id = 0
-    # per finished entry: run id + offset within the run
-    ent_run = np.full(c_nnz, -1, np.int32)
-    ent_off = np.zeros(c_nnz, np.int32)
 
-    def _emit(srcs, lens_, wins_sel, tab, wid0=0):
-        """Append one run per selected window; record run ids in tab.
+    # --- tier mask routing (deferred past the packing loop) ------------
+    from nsparse_tpu.native import benes_route, benes_route_split, get_lib
 
-        ``wid0``: offset mapping class-local window indices (tier runs)
-        to global window ids."""
-        nonlocal run_id
-        run_src.append(srcs)
-        run_len.append(lens_)
-        run_win.append(np.asarray(wins_sel, np.int64) + wid0)
-        tab[wins_sel] = run_id + np.arange(wins_sel.size)
-        run_id += wins_sel.size
+    tier_masks_cls = []
+    ref_tier_cls = []
+    for perms_j in tier_perm_cls:
+        masks_j, ref_j = [], []
+        for local_t, V, mode in perms_j:
+            if want_masks:
+                if get_lib() is None:
+                    raise RuntimeError(
+                        "native benes router required for fused window "
+                        "plans (NSPARSE_PLAN_TARGET=tpu)"
+                    )
+                if mode == "trans":
+                    mo, mt = benes_route_split(local_t & np.int32(V - 1), V)
+                    masks_j.append((
+                        jnp.asarray(mo.reshape(-1, LANES)),
+                        jnp.asarray(mt.reshape(-1, LANES)),
+                    ))
+                else:
+                    mfull = benes_route(local_t & np.int32(V - 1), V)
+                    masks_j.append(
+                        (jnp.asarray(mfull.reshape(-1, LANES)),)
+                    )
+                ref_j.append(None)
+            else:
+                masks_j.append((jnp.zeros((1, LANES), jnp.int32),))
+                ref_j.append(jnp.asarray(local_t))
+        tier_masks_cls.append(masks_j)
+        ref_tier_cls.append(ref_j)
+    _tick("tier-route")
 
-    # tier-1 runs: levels 0..2 intervals + the level-3 singles region.
-    # The device lays the fold pyramid out WINDOW-major per class (one
-    # axis-1 concat of [F0 | F1 | .. | F_lv] -> (n_w, Pc) blocks): every
-    # window's totals then live in ONE contiguous Pc neighborhood, which
-    # keeps the tight-arena extraction single-stream per output subtile.
-    pyr_base_cls = {}
-    pc_cls = {}
-    src_off = 0
-    for (base, slots, W, lv), j in zip(class_geom, active):
-        pc = sum(W >> k for k in range(lv + 1))
-        pyr_base_cls[j] = src_off
-        pc_cls[j] = pc
-        src_off += (slots // W) * pc
-    pyrb_w = np.array([pyr_base_cls[j] for j in win_class], np.int64)
-    pc_w = np.array([pc_cls[j] for j in win_class], np.int64)
-    ww64 = win_width.astype(np.int64)
-    wl64 = win_loc.astype(np.int64)
-
-    def _lvl1(k):
-        """Per-global-window flat offset of its F_k array start."""
-        off_k = 0 if k == 0 else 2 * ww64 - (ww64 >> (k - 1))
-        return pyrb_w + wl64 * pc_w + off_k
-
-    # run-id tables for assembly-position recovery
-    rid_iv = np.full((n_wins, 3, 8), -1, np.int64)
-    rid_c3 = np.full(n_wins, -1, np.int64)
-    for cls in (0, 1, 2):
-        st_, al_, pv_ = cls_ivs[cls]
-        base_l = _lvl1(cls)
-        for i in range(st_.shape[1]):
-            wsel = np.flatnonzero(al_[:, i] > 0)
-            if not wsel.size:
-                continue
-            _emit(base_l[wsel] + st_[wsel, i], al_[wsel, i], wsel,
-                  rid_iv[:, cls, i])
-    w3 = np.flatnonzero(c3w > 0)
-    if w3.size:
-        _emit(_lvl1(3)[w3] + g3w[w3], c3w[w3], w3, rid_c3)
-
-    # asm position references for tier-1 finished entries
-    small_ids = went[we_cls <= 2]
-    sw = win_of_entry[small_ids]
-    sc = ecls[small_ids]
-    siv = iv_of_entry[small_ids]
-    ent_run[small_ids] = rid_iv[sw, sc, siv]
-    for cls in (0, 1, 2):
-        m_ = small_ids[sc == cls]
-        _, _, pv_c = cls_ivs[cls]
-        ent_off[m_] = (
-            rank_of_entry[m_]
-            - pv_c[win_of_entry[m_], iv_of_entry[m_]]
-        )
-    ent_run[ids3] = rid_c3[win_of_entry[ids3]]
-    ent_off[ids3] = rank_of_entry[ids3]
-    _tick("ext-runs/tier1-tables")
-
-    # tiers: per class, recurse on the deep items
-    for (base, slots, W, lv), j in zip(class_geom, active):
-        plans_j, geoms_j = [], []
-        wid0 = class_wid0[j]
-        n_w_t = class_nw[j]           # includes identity pad windows
-        d_sel = deep_ids0[win_class[win_of_entry[deep_ids0]] == j]
-        items = d_sel                                  # global entry ids
-        u = units[items]
-        sprev = sigma_of_entry[items]   # F3-local slot of the 1st partial
-        wloc = win_loc[win_of_entry[items]]
-        v_in = W >> 3
-        tier = 2
-        while items.size:
-            if tier > MAX_TIERS:
-                raise AssertionError("tier recursion failed to terminate")
-            V = 2 * v_in
-            tile_w = max(256, V)
-            n_slots = n_w_t * V
-            n_pad = _round_up(n_slots, max(16384, tile_w))
-            # classify items by partial count
-            kk = np.where(u <= 2, 1,
-                          np.where(u <= 4, 2,
-                                   np.where(u <= 8, 3, DEEP))
-                          ).astype(np.int8)
-            un = np.where(kk == DEEP, -(-u // 8), 1).astype(np.int32)
-            cnt = np.bincount(
-                wloc.astype(np.int64) * 5 + kk, weights=un,
-                minlength=n_w_t * 5,
-            ).astype(np.int64).reshape(n_w_t, 5)
-            wv_t = np.full(n_w_t, V, np.int64)
-            civ, g3t, dstt = _alloc_levels(
-                wv_t, cnt[:, 0], cnt[:, 1], cnt[:, 2], cnt[:, 3],
-                cnt[:, DEEP],
-            )
-            rk = _group_rank(wloc, kk, un)
-            sig_t = np.empty(items.size, np.int32)
-            iv_t = np.zeros(items.size, np.int32)
-            for cls in (1, 2):
-                m_ = np.flatnonzero(kk == cls)
-                if not m_.size:
-                    continue
-                st_, al_, pv_ = civ[cls]
-                iv = (rk[m_][:, None] >= pv_[wloc[m_]]).sum(
-                    axis=1, dtype=np.int32
-                ) - 1
-                iv = np.minimum(iv, st_.shape[1] - 1)
-                sig_t[m_] = st_[wloc[m_], iv] + rk[m_] - pv_[wloc[m_], iv]
-                iv_t[m_] = iv
-            m3 = np.flatnonzero(kk == 3)
-            sig_t[m3] = g3t[wloc[m3]] + rk[m3]
-            md = np.flatnonzero(kk == DEEP)
-            sig_t[md] = dstt[wloc[md]] + rk[md]
-
-            # permutation: partial s of item i -> its footprint slot
-            nper = u
-            ii = np.repeat(np.arange(items.size, dtype=np.int32), nper)
-            cumn = np.concatenate(
-                [np.zeros(1, np.int32),
-                 np.cumsum(nper, dtype=np.int32)[:-1]]
-            )
-            s = np.arange(int(nper.sum()), dtype=np.int32) - np.repeat(
-                cumn, nper
-            )
-            kki = kk[ii]
-            stride = np.int32(V) >> np.minimum(kki, 3).astype(np.int32)
-            tts = np.where(kki == DEEP, s & 7, s)
-            sgf = np.where(kki == DEEP, sig_t[ii] + (s >> 3), sig_t[ii])
-            dstp = wloc[ii] * np.int32(V) + sgf + tts * stride
-            srcp = wloc[ii] * np.int32(V) + sprev[ii] + s
-            # footprint tails (slots beyond u) read the ZERO half
-            fsz = np.where(kk == DEEP, 8 * un, 1 << np.minimum(kk, 3))
-            tail = fsz - u
-            ti = np.repeat(np.arange(items.size, dtype=np.int32), tail)
-            cumt = np.concatenate(
-                [np.zeros(1, np.int32),
-                 np.cumsum(tail, dtype=np.int32)[:-1]]
-            )
-            st2 = u[ti] + (
-                np.arange(int(tail.sum()), dtype=np.int32)
-                - np.repeat(cumt, tail)
-            )
-            kkt = kk[ti]
-            stridet = np.int32(V) >> np.minimum(kkt, 3).astype(np.int32)
-            ttt = np.where(kkt == DEEP, st2 & 7, st2)
-            sgt = np.where(kkt == DEEP, sig_t[ti] + (st2 >> 3), sig_t[ti])
-            dstt_p = wloc[ti] * np.int32(V) + sgt + ttt * stridet
-            # zero-half sources: per window, sequential from V/2
-            zrank = _group_rank(
-                wloc[ti], np.zeros(ti.size, np.int8),
-                np.ones(ti.size, np.int32),
-            )
-            srct_p = wloc[ti] * np.int32(V) + np.int32(v_in) + zrank
-            permt = np.full(n_pad, -1, np.int32)
-            permt[dstp] = srcp
-            permt[dstt_p] = srct_p
-            usedt = np.zeros(n_pad, bool)
-            usedt[srcp] = True
-            usedt[srct_p] = True
-            emptyt = np.flatnonzero(permt == -1)
-            permt[emptyt] = np.flatnonzero(~usedt)
-            # tile-local indices (windows nest within tiles, so the
-            # source never leaves its tile: pow2 mask, no modulo)
-            local = permt & np.int32(tile_w - 1)
-            _tick(f"tiers/perm-V{V}")
-            plans_j.append(build_tile_benes(local, tile_w))
-            _tick(f"tiers/route-V{V}")
-            geoms_j.append((int(V), int(n_slots), int(n_pad)))
-
-            # parts offsets + extraction runs for levels 1..3
-            for k in (1, 2, 3):
-                lvloff[(j, tier, k)] = src_off
-                src_off += n_slots >> k
-            rid_t = np.full((n_w_t, 3, 8), -1, np.int64)
-            rid_t3 = np.full(n_w_t, -1, np.int64)
-            for cls in (1, 2):
-                st_, al_, pv_ = civ[cls]
-                bl = lvloff[(j, tier, cls)] + (
-                    np.arange(n_w_t, dtype=np.int64) * (V >> cls)
-                )
-                for i in range(st_.shape[1]):
-                    wsel = np.flatnonzero(al_[:, i] > 0)
-                    if not wsel.size:
-                        continue
-                    _emit(bl[wsel] + st_[wsel, i], al_[wsel, i], wsel,
-                          rid_t[:, cls, i], wid0=class_wid0[j])
-            w3t = np.flatnonzero(cnt[:, 3] > 0)
-            if w3t.size:
-                _emit(
-                    lvloff[(j, tier, 3)] + w3t * (V >> 3) + g3t[w3t],
-                    cnt[w3t, 3], w3t, rid_t3, wid0=class_wid0[j],
-                )
-            fin = kk <= 3
-            fi = items[fin]
-            kf = kk[fin]
-            ent_off[fi] = rk[fin]
-            is3 = kf == 3
-            ent_run[fi[is3]] = rid_t3[wloc[fin][is3]]
-            for cls in (1, 2):
-                mc = np.flatnonzero(kf == cls)
-                if not mc.size:
-                    continue
-                _, _, pv_ = civ[cls]
-                wl_ = wloc[fin][mc]
-                ent_run[fi[mc]] = rid_t[wl_, cls, iv_t[fin][mc]]
-                ent_off[fi[mc]] = rk[fin][mc] - pv_[wl_, iv_t[fin][mc]]
-
-            nxt = kk == DEEP
-            items = items[nxt]
-            u = un[nxt]
-            sprev = sig_t[nxt]
-            wloc = wloc[nxt]
-            v_in = V >> 3
-            tier += 1
-        tier_plans.append(tuple(plans_j))
-        tier_geoms.append(tuple(geoms_j))
-
-    n_src = src_off
-    _tick("tiers")
-
-    # --- extraction: window-major destinations into pow2 entry bins -----
-    # Each window's runs land back-to-back (phase-matched cursor walk) in
-    # its own pow2-sized block; consecutive windows of a bin read
-    # consecutive positions of the same few level arrays, so the
-    # fixed-dst run-copy's multi-stream span classes keep sequential DMA.
-    all_src = np.concatenate(run_src) if run_src else np.zeros(0, np.int64)
-    all_len = np.concatenate(run_len) if run_len else np.zeros(0, np.int64)
-    all_win = np.concatenate(run_win) if run_win else np.zeros(0, np.int64)
-
-    ordw = np.argsort(all_win, kind="stable")
-    srt_w = all_win[ordw]
-    srt_s = all_src[ordw]
-    srt_l = all_len[ordw]
-    wfirst = np.flatnonzero(np.diff(np.concatenate([[-1], srt_w])) != 0)
-    wcnt = np.diff(np.concatenate([wfirst, [srt_w.size]]))
-    wlist = srt_w[wfirst]
-
-    # phase-chain the runs of each window: pick as next run one whose
-    # START phase equals the cursor's END phase, so most inter-run
-    # alignment gaps vanish (~30% of entries otherwise, 64 avg per run).
-    # Greedy bucket matching; the Benes absorbs any in-window order.
-    if srt_w.size:
-        p_ph = (srt_s % LANES).astype(np.int64)
-        q_ph = ((srt_s + srt_l) % LANES).astype(np.int64)
-        chain = np.empty(srt_w.size, np.int64)
-        pos = 0
-        for k0, cnt in zip(wfirst, wcnt):
-            k0 = int(k0)
-            cnt = int(cnt)
-            if cnt == 1:
-                chain[pos] = k0
-                pos += 1
-                continue
-            buckets = {}
-            for i in range(k0 + cnt - 1, k0 - 1, -1):
-                buckets.setdefault(int(p_ph[i]), []).append(i)
-            taken = [False] * cnt
-            cur = 0
-            scan = 0
-            for _ in range(cnt):
-                i = -1
-                lst = buckets.get(cur)
-                while lst:
-                    cand2 = lst.pop()
-                    if not taken[cand2 - k0]:
-                        i = cand2
-                        break
-                if i < 0:
-                    while taken[scan]:
-                        scan += 1
-                    i = k0 + scan
-                taken[i - k0] = True
-                chain[pos] = i
-                pos += 1
-                cur = int(q_ph[i])
-        ordw = ordw[chain]
-        srt_w = all_win[ordw]
-        srt_s = all_src[ordw]
-        srt_l = all_len[ordw]
-    # phase-matched cursor walk, vectorized: within a window the cursor
-    # phase after run i is (s_i + l_i) mod LANES, so each run's alignment
-    # gap depends only on its predecessor:
-    #   gap_i = (s_i - s_{i-1} - l_{i-1}) mod LANES  (first run: s_i mod)
-    #   d_i   = cumsum(gap + l)_i - l_i   (segmented per window)
-    gap = np.empty(srt_w.size, np.int64)
-    if srt_w.size:
-        gap[0] = srt_s[0] % LANES
-        gap[1:] = (srt_s[1:] - srt_s[:-1] - srt_l[:-1]) % LANES
-        gap[wfirst] = srt_s[wfirst] % LANES
-    csum = np.cumsum(gap + srt_l)
-    seg0 = np.repeat(
-        csum[wfirst] - (gap[wfirst] + srt_l[wfirst]), wcnt
-    )
-    d_loc = csum - seg0 - srt_l
-    wlast = np.concatenate([wfirst[1:], [srt_w.size]]) - 1
-    curw = csum[wlast] - seg0[wlast] if srt_w.size else np.zeros(
-        0, np.int64
-    )
-    _tick("ext/walk")
-
-    # --- arena tiles: windows share pow2 Benes tiles --------------------
-    # Each Benes tile holds SEVERAL row-consecutive windows: a window
-    # gets an INPUT region (extraction lands here, 128-aligned so run
-    # phases stay matched) and an OUTPUT region (entry-sorted, at a
-    # cursor congruent to its C offset mod LANES so the compaction reads
-    # it phase-matched).  Both regions index the same tile; the tile's
-    # Benes maps one onto the other.  Sharing replaces the per-window
-    # next-pow2 block (~1.76x slack) with phase gaps only (~1.2x).
-    # ``bin_rows`` (reference BIN role) classes the oversized windows
-    # into their own pow2 tiles.
-    cur_of_win = np.zeros(n_wins, np.int64)
-    cur_of_win[wlist] = curw
+    # --- entry E positions + per-class fused plans ---------------------
+    assert (ent_run[went] >= 0).all(), "uncovered window entry"
     e0_w = c_rpt[win_frow].astype(np.int64)
     e1_w = c_rpt[win_lrow + 1].astype(np.int64)
     n_ent_w = e1_w - e0_w
     phi_w = e0_w % LANES
-    T_SHARE = 16384
-    span_w = np.maximum(cur_of_win, phi_w + n_ent_w)
-    order_w = np.argsort(win_frow, kind="stable")
-    is_big = span_w > T_SHARE
-    assert int(span_w.max(initial=0)) <= 65536, "window span > 64k"
-
-    in_rel = np.zeros(n_wins, np.int64)   # input region start in tile
-    out_rel = np.zeros(n_wins, np.int64)  # output region start in tile
-    tile_of = np.zeros(n_wins, np.int64)
-    n_share = 0
-    in_cur = out_cur = 0
-    opened = False
-    for w in order_w:
-        if is_big[w]:
-            continue
-        io = _round_up(in_cur, LANES)
-        oo = out_cur + (int(phi_w[w]) - out_cur) % LANES
-        if not opened or max(
-            io + int(cur_of_win[w]), oo + int(n_ent_w[w])
-        ) > T_SHARE:
-            n_share += 1
-            opened = True
-            io = 0
-            oo = int(phi_w[w])
-        tile_of[w] = n_share - 1
-        in_rel[w] = io
-        out_rel[w] = oo
-        in_cur = io + int(cur_of_win[w])
-        out_cur = oo + int(n_ent_w[w])
-
-    # layout: the shared-tile region first, then oversized windows in
-    # pow2 bins (largest first keeps every base max(16384, P)-aligned)
-    ebin_meta = []  # (P, base, padded slots)
-    arena_cur = 0
-    tile_addr = np.zeros(max(n_share, 1), np.int64)
-    if n_share:
-        blen = _round_up(n_share * T_SHARE, max(16384, T_SHARE))
-        tile_addr = np.arange(n_share, dtype=np.int64) * T_SHARE
-        ebin_meta.append((T_SHARE, 0, int(blen)))
-        arena_cur = blen
-    big_ids = np.flatnonzero(is_big)
-    block_base = np.zeros(n_wins, np.int64)
-    if n_share:
-        share_ids = np.flatnonzero(~is_big)
-        block_base[share_ids] = tile_addr[tile_of[share_ids]]
-    if big_ids.size:
-        pbins = bin_rows(span_w[big_ids], min_size=256, num_bins=9)
-        for jb in range(len(pbins) - 1, -1, -1):
-            bsel = np.asarray(pbins[jb], np.int64)
-            if not bsel.size:
-                continue
-            P = 256 << jb
-            wsel = big_ids[bsel]
-            wsel = wsel[np.argsort(win_frow[wsel], kind="stable")]
-            blen = _round_up(int(wsel.size) * P, max(16384, P))
-            block_base[wsel] = arena_cur + np.arange(wsel.size) * P
-            ebin_meta.append((int(P), int(arena_cur), int(blen)))
-            arena_cur += blen
-        out_rel[big_ids] = phi_w[big_ids]  # input at 0, output at phi
-    arena_len = int(arena_cur)
-    in_base = block_base + in_rel
-    out_base = block_base + out_rel
-    if os.environ.get("NSPARSE_WIN_DEBUG"):
-        print(
-            f"[windbg] arena={arena_len} content={int(cur_of_win.sum())} "
-            f"entries={int(n_ent_w.sum())} n_share={n_share} "
-            f"big={big_ids.size} wins={n_wins}", flush=True,
-        )
-
-    d_emis = np.empty_like(d_loc)
-    d_emis[ordw] = d_loc
-    dst_abs = in_base[all_win] + d_emis
-    ordd = np.argsort(dst_abs, kind="stable")
-    _tick("ext/bins")
-    extract, _ = build_runcopy_plan(
-        all_src[ordd], all_len[ordd], n_src,
-        dst=dst_abs[ordd], n_out=arena_len,
-    )
-    n_compact = arena_len
-    _tick("extraction")
-
-    # --- per-tile entry-order Benes (the factorized assembly) ----------
-    # Consecutive rows make the window's entries one contiguous C span,
-    # so the in-window rank is just ``entry_id - first_entry``.
-    assert (ent_run[went] >= 0).all(), "uncovered window entry"
-    pos_went = dst_abs[ent_run[went]] + ent_off[went]
+    pos_in_E = d_run[ent_run[went]] + ent_off[went]  # window-local
     rank_c = went.astype(np.int64) - e0_w[we_win]
-    target_went = out_base[we_win] + rank_c
-    eperm = np.full(arena_len, -1, np.int64)
-    eperm[target_went] = pos_went
-    used_e = np.zeros(arena_len, bool)
-    used_e[pos_went] = True
-    empty_e = np.flatnonzero(eperm == -1)
-    eperm[empty_e] = np.flatnonzero(~used_e)
-    entry_benes = []
-    ebin_geom = []
-    for P, ebase, blen in ebin_meta:
-        local = (eperm[ebase : ebase + blen] & np.int64(P - 1)).astype(
-            np.int32
+
+    fused_plans = []
+    class_arena_base = {}
+    arena_cur = 0
+    from nsparse_tpu.ops.kernels.window_fused import TILE as _FTILE
+
+    for ci, ((base, slots, W, lv), j) in enumerate(
+        zip(class_geom, active)
+    ):
+        BLK = max(BLK_MIN, W)
+        NWB = BLK // W
+        n_steps = slots // BLK
+        SUBS = BLK // _FTILE
+        n_w = class_nw[j]
+        levels = levels_cls[j]
+        class_arena_base[j] = arena_cur
+
+        wins_j = np.flatnonzero(win_class == j)          # global win ids
+        wl_j = win_loc[wins_j].astype(np.int64)           # == arange
+
+        # E destination (class-local) per run of this class
+        rsel = np.flatnonzero(win_class[all_win] == j)
+        r_win = all_win[rsel]
+        r_wl = win_loc[r_win].astype(np.int64)
+        r_lvl = all_lvl[rsel]
+        r_src = all_src[rsel]
+        r_len = all_len[rsel]
+        r_d = d_run[rsel]
+        dst_cls = r_wl * W + r_d                          # class-local E
+
+        # PYR block-local source flat position per run
+        lw = np.asarray([l[0] for l in levels], np.int64)
+        lr = np.asarray([l[1] for l in levels], np.int64)
+        lb = np.asarray([l[2] for l in levels], np.int64)
+        wl_b = r_wl % NWB
+        src_flat = (
+            (PYR_BIAS + lb[r_lvl] * NWB + wl_b * lr[r_lvl]) * LANES
+            + r_src
         )
-        entry_benes.append(build_tile_benes(local, P))
-        ebin_geom.append((ebase, blen, P))
-    _tick("entry-benes")
-    # --- fallback pool: whole rows too heavy for the largest window -----
+        # block-local destination
+        dst_blk = (r_wl % NWB) * W + r_d
+
+        # piece tables per E-subtile (block-local subtiles, all steps)
+        n_sub = n_steps * SUBS
+        ordd = np.argsort(dst_cls, kind="stable")
+        ds_ = dst_cls[ordd]
+        sl_ = r_len[ordd]
+        sf_ = src_flat[ordd]
+        db_ = dst_blk[ordd]
+        sub_base = np.arange(n_sub, dtype=np.int64) * _FTILE
+        first = np.searchsorted(ds_, sub_base, side="right") - 1
+        ends_abs = ds_ + sl_
+        has_cont = (first >= 0) & (
+            ends_abs[np.maximum(first, 0)] > sub_base
+        )
+        first = np.where(has_cont, first, first + 1)
+        nxt = np.searchsorted(ds_, sub_base + _FTILE, side="left")
+        count = np.maximum(nxt - first, 0)
+        j_cap = max(8, _round_up(int(count.max(initial=0)), 8))
+        kkr = np.arange(j_cap, dtype=np.int64)
+        rr = first[:, None] + kkr[None, :]
+        validp = (kkr[None, :] < count[:, None]) & (rr < ds_.size) & (
+            rr >= 0
+        )
+        rc = np.clip(rr, 0, max(ds_.size - 1, 0))
+        sb = sub_base[:, None]
+        sub_in_blk = (np.arange(n_sub, dtype=np.int64) % SUBS)[:, None]
+        cut = np.where(validp, np.maximum(ds_[rc] - sb, 0), _FTILE)
+        endp = np.where(
+            validp, np.minimum(ends_abs[rc] - sb, _FTILE), _FTILE
+        )
+        # phase-matched: src_flat - dst_blk is a multiple of 128
+        sub_base_blk = sub_in_blk * _FTILE
+        srow = np.where(
+            validp,
+            (sf_[rc] + sub_base_blk - db_[rc]) // LANES,
+            0,
+        )
+        if validp.any():
+            chkoff = (sf_[rc] - db_[rc]) % LANES
+            assert not np.any(chkoff[validp]), "phase mismatch in pieces"
+            assert srow[validp].min(initial=0) >= 0, "negative piece row"
+        cuts = cut.astype(np.int32)
+        endsp = endp.astype(np.int32)
+        srows = srow.astype(np.int32)
+        tripsp = np.zeros((n_sub, 8), np.int32)
+        tripsp[:, 0] = np.minimum(count, j_cap)
+
+        # entry permutation per window: out[(phi + rank) % W] = E[pos]
+        eids = went[win_class[we_win] == j]
+        ew = win_of_entry[eids]
+        ewl = win_loc[ew].astype(np.int64)
+        msk = win_class[we_win] == j
+        src_e = ewl * W + pos_in_E[msk]
+        tgt_e = ewl * W + (phi_w[ew] + rank_c[msk]) % W
+        eperm = np.full(slots, -1, np.int64)
+        eperm[tgt_e] = src_e
+        used_e = np.zeros(slots, bool)
+        used_e[src_e] = True
+        empty_e = np.flatnonzero(eperm == -1)
+        eperm[empty_e] = np.flatnonzero(~used_e)
+        elocal = (eperm & np.int64(W - 1)).astype(np.int32)
+
+        if want_masks:
+            if get_lib() is None:
+                raise RuntimeError(
+                    "native benes router required for fused window plans"
+                )
+            emo, emt = benes_route_split(elocal, W)
+            emo = jnp.asarray(emo.reshape(-1, LANES))
+            emt = jnp.asarray(emt.reshape(-1, LANES))
+            ref_ext = None
+            ref_entry = None
+            ref_tiers = ()
+        else:
+            emo = jnp.zeros((1, LANES), jnp.int32)
+            emt = jnp.zeros((1, LANES), jnp.int32)
+            # reference: E slot -> virtual level-concat index
+            vbase = np.concatenate([[0], np.cumsum(lw * n_w)])[:-1]
+            ref_ext_np = np.full(slots, -1, np.int64)
+            pr_ = np.repeat(np.arange(rsel.size, dtype=np.int64), r_len)
+            cuml = np.concatenate([[0], np.cumsum(r_len)[:-1]])
+            kin = np.arange(pr_.size, dtype=np.int64) - cuml[pr_]
+            ref_ext_np[dst_cls[pr_] + kin] = (
+                vbase[r_lvl[pr_]] + r_wl[pr_] * lw[r_lvl[pr_]]
+                + r_src[pr_] + kin
+            )
+            ref_ext = jnp.asarray(ref_ext_np.astype(np.int32))
+            ref_entry = jnp.asarray(eperm.astype(np.int32))
+            ref_tiers = tuple(ref_tier_cls[ci])
+
+        fused_plans.append(FusedClassPlan(
+            trips=jnp.asarray(tripsp),
+            cuts=jnp.asarray(cuts),
+            ends=jnp.asarray(endsp),
+            srows=jnp.asarray(srows),
+            emo=emo,
+            emt=emt,
+            tier_masks=tuple(
+                tuple(t) for t in tier_masks_cls[ci]
+            ) if want_masks else tuple(
+                (jnp.zeros((1, LANES), jnp.int32),)
+                for _ in tier_masks_cls[ci]
+            ),
+            ref_ext_idx=ref_ext,
+            ref_entry_idx=ref_entry,
+            ref_tier_idx=ref_tiers,
+            w=int(W),
+            blk=int(BLK),
+            lv=int(lv),
+            levels=levels,
+            tier_meta=tuple(tier_meta_cls[ci]),
+            j_cap=int(j_cap),
+            n_steps=int(n_steps),
+            slots=int(slots),
+        ))
+        arena_cur += slots
+    arena_len = int(arena_cur)
+    _tick("fused-plans")
+
+    # --- fallback pool: whole rows beyond window capability -------------
     fb_entry_ids = np.flatnonzero(win_of_entry < 0)
     fb_shuffle = None
     fb_levels = ()
@@ -1093,19 +1098,16 @@ def build_window_structure(
         fb_levels = slab_fb["levels"]
         fb_lvl_idx = tuple(jnp.asarray(i) for i in slab_fb["lvl_idx"])
         res_off_fb = slab_fb["res_off"]
-
     _tick("fb-structure")
+
     # --- fallback segment: entry-sorted, phase-matched per fb row -------
-    # The fb results land in a segment appended after the arena; each fb
-    # row's entries sit at a cursor aligned to its C offset mod LANES, so
-    # the compaction reads the segment on the sublane-slice classes too.
     fb_perm = None
     fb_seg = 0
     fb_drow = fb_rcnt = fb_rows_seg = None
     if slab_fb is not None:
         fb_ent = np.asarray(slab_fb["asm_entry"], np.int64)
         fb_pos = np.asarray(slab_fb["asm_pos"], np.int64)
-        ofb = np.argsort(fb_ent, kind="stable")  # entry id = C order
+        ofb = np.argsort(fb_ent, kind="stable")
         ent_sorted = fb_ent[ofb]
         rows_fb = row_of_entry[ent_sorted]
         rfirst = np.flatnonzero(
@@ -1136,13 +1138,21 @@ def build_window_structure(
         fb_rows_seg = rows_fb[rfirst]
     _tick("asm/fb-perm")
 
-    # --- compaction runs: one per window plus one per fallback row;
-    # sources are phase-matched by construction and monotone within each
-    # arena region / the fb segment --------------------------------------
+    # --- merge: per-window entry runs (wrap-aware) + fallback rows ------
+    out_base_w = np.array(
+        [class_arena_base[win_class[w]] for w in range(n_wins)], np.int64
+    ) + win_loc.astype(np.int64) * win_width
     wnz = np.flatnonzero(n_ent_w > 0)
-    r_src = [out_base[wnz]]
+    n1 = np.minimum(n_ent_w[wnz], win_width[wnz] - phi_w[wnz])
+    n2 = n_ent_w[wnz] - n1
+    r_src = [out_base_w[wnz] + phi_w[wnz]]
     r_dst = [e0_w[wnz]]
-    r_len = [n_ent_w[wnz]]
+    r_len = [n1]
+    wrap = np.flatnonzero(n2 > 0)
+    if wrap.size:
+        r_src.append(out_base_w[wnz[wrap]])
+        r_dst.append(e0_w[wnz[wrap]] + n1[wrap])
+        r_len.append(n2[wrap])
     if fb_drow is not None:
         r_src.append(arena_len + fb_drow)
         r_dst.append(c_rpt[fb_rows_seg].astype(np.int64))
@@ -1159,90 +1169,46 @@ def build_window_structure(
         dst=mrg_dst, n_out=_round_up(c_cap, 1024),
     )
     _tick("asm/merge")
-    if os.environ.get("NSPARSE_WIN_DEBUG"):
-        global _LAST_DEBUG
-        _LAST_DEBUG = dict(
-            run_start_ae=run_start_ae, exp_p=exp_p, slot_p=slot_p,
-            sel=sel, win_base=win_base, win_of_entry=win_of_entry,
-            lens=lens, starts=starts, dst=dst_abs, fb_base=fb_base,
-            cnt_wc=cnt_wc, sigma_of_entry=sigma_of_entry,
-            rank_of_entry=rank_of_entry, all_src=all_src,
-            all_len=all_len, win_width=win_width,
-            block_base=block_base, rank_c=rank_c,
-            ext_dst=dst_abs, mrg_src=mrg_src, mrg_len=mrg_len,
-            mrg_dst=mrg_dst,
-        )
+
     win = WindowStructure(
         benes=tuple(benes),
-        tiers=tuple(tier_plans),
-        extract=extract,
+        fused=tuple(fused_plans),
+        merge=merge,
         fb_shuffle=fb_shuffle,
         fb_lvl_idx=fb_lvl_idx,
-        entry_benes=tuple(entry_benes),
-        merge=merge,
         fb_perm=fb_perm,
         class_geom=tuple(class_geom),
         tier_geom=tuple(tier_geoms),
         fb_levels=fb_levels,
         fb_off=int(fb_base),
         fb_len=int(fb_len),
-        n_compact=int(n_compact),
-        ebin_geom=tuple(ebin_geom),
+        n_compact=int(arena_len),
     )
     return win, pw_plan
 
 
 def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
-    """Window-arena numeric phase (pure jit): expand -> per-window Benes
-    -> fold pyramid (+ radix-8 tiers for deep entries) -> tight-arena
-    run-copy extraction -> per-window entry Benes (phase-rotated C order)
-    -> monotone run-copy compaction (+ fallback-row Clos side channel)."""
+    """Fused window-arena numeric phase (pure jit): expand -> per-class
+    tier-1 Benes -> fused [folds + tiers + extraction + entry order]
+    kernel -> monotone run-copy compaction (+ fallback-row side
+    channel)."""
     from nsparse_tpu.ops.kernels.piecewise import piecewise_expand
     from nsparse_tpu.ops.kernels.runcopy import runcopy
     from nsparse_tpu.ops.kernels.shuffle_pallas import (
         planned_shuffle,
         tile_benes_apply,
     )
+    from nsparse_tpu.ops.kernels.window_fused import fused_class_apply
     from nsparse_tpu.ops.spgemm import slab_class_reduce
 
     w: WindowStructure = plan.win
     prod = piecewise_expand(plan.pw, a.val, b.val)
-    # parts order mirrors the host lvloff walk: per class ONE window-major
-    # pyramid block ([F0 | F1 | .. | F_lv] concatenated along the window
-    # axis, so every window's totals are one contiguous neighborhood for
-    # the extraction), then each class's tier folds (level-major)
-    parts = []
-    curs = []
-    for bp, (base, slots, width, levels) in zip(w.benes, w.class_geom):
+    segs = []
+    for bp, fp, (base, slots, width, levels) in zip(
+        w.benes, w.fused, w.class_geom
+    ):
         x = tile_benes_apply(bp, prod[base : base + slots])
-        levs = [x.reshape(-1, width)]
-        cur = levs[0]
-        for k in range(1, levels + 1):
-            half = width >> k
-            cur = cur[:, :half] + cur[:, half:]
-            levs.append(cur)
-        blk = levs[0] if levels == 0 else jnp.concatenate(levs, axis=1)
-        parts.append(blk.reshape(-1))
-        curs.append(cur)
-    for tps, tgs, cur in zip(w.tiers, w.tier_geom, curs):
-        for tp, (V, n_slots, n_pad) in zip(tps, tgs):
-            arena = jnp.concatenate(
-                [cur, jnp.zeros_like(cur)], axis=1
-            ).reshape(-1)
-            if n_pad > int(arena.shape[0]):
-                arena = jnp.pad(arena, (0, n_pad - int(arena.shape[0])))
-            tx = tile_benes_apply(tp, arena)[:n_slots]
-            cur = tx.reshape(-1, V)
-            for k in (1, 2, 3):
-                half = V >> k
-                cur = cur[:, :half] + cur[:, half:]
-                parts.append(cur.reshape(-1))
-    src = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    ext = runcopy(w.extract, src)
-    segs = [
-        tile_benes_apply(bp, ext[base : base + blen])
-        for bp, (base, blen, _) in zip(w.entry_benes, w.ebin_geom)
-    ]
+        segs.append(fused_class_apply(fp, x))
     res = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
     if w.fb_shuffle is not None:
         fb_in = prod[w.fb_off : w.fb_off + w.fb_len]

@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 5  # v5: consecutive-row windows, phase-rotated entry Benes
+PLAN_VERSION = 7  # v7: fused kernel with dynamic-trip extraction
 
 
 def _registry():
@@ -41,6 +41,7 @@ def _registry():
         ShufflePlan,
         TileBenesPlan,
     )
+    from nsparse_tpu.ops.kernels.window_fused import FusedClassPlan
     from nsparse_tpu.ops.spgemm import SpgemmPlan
     from nsparse_tpu.ops.spgemm_window import WindowStructure
 
@@ -48,7 +49,7 @@ def _registry():
         c.__name__: c
         for c in (
             SpgemmPlan, ShufflePlan, TileBenesPlan, PiecewisePlan,
-            FlatGatherPlan, RunCopyPlan, WindowStructure,
+            FlatGatherPlan, RunCopyPlan, WindowStructure, FusedClassPlan,
         )
     }
 
