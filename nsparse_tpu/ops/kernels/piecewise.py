@@ -167,7 +167,7 @@ def build_piecewise_plan(
     rows_tot = 0
     if aligned:
         assert (run_start % 8 == 0).all() and (run_boff % 8 == 0).all()
-        rows_tot = (BIAS + _round_up(nnz_b + TILE + LANES, LANES)) // LANES
+        rows_tot = bank_rows_for(nnz_b)
         if rows_tot > BANK_ROWS_MAX:
             aligned = False  # bank would not fit VMEM: dynamic-align path
 
@@ -403,6 +403,74 @@ def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned,
     )(ids, cuts, boffs, apv, tbl2, out)
 
 
+def _bank_kernel(x_ref, o_ref, *, rows_blk: int, per_copy: int):
+    """One output block of pre-rolled copy k: y[q, l] = flat[q*128+l+8k]
+    (k < 16 -> lane shift 8k < 128).  The whole flat table (+8 pad rows)
+    stays VMEM-resident; each step slices its row window dynamically."""
+    i = pl.program_id(0)
+    k = i // per_copy
+    s = 8 * k
+    r0 = (i % per_copy) * rows_blk
+    blk = x_ref[pl.ds(r0, rows_blk + 8), :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    a = pltpu.roll(blk, (LANES - s) % LANES, 1)
+    c = pltpu.roll(a, rows_blk + 8 - 1, 0)
+    y = jnp.where(lane < LANES - s, a, c)
+    o_ref[:] = y[:rows_blk]
+
+
+def build_bank(b8_gp, bank_rows: int, b_val: jax.Array) -> jax.Array:
+    """Pre-rolled aligned b8 bank: (BANK_K * bank_rows, 128).  Every
+    8-aligned piece is then one dynamic sublane slice (see
+    ``build_piecewise_plan`` aligned mode).  One Pallas pass builds all
+    BANK_K copies (the 16-XLA-roll version cost ~1.3 ms per call)."""
+    import functools
+
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+    b8 = flat_gather(b8_gp, b_val)
+    flat = jnp.zeros(bank_rows * LANES, b_val.dtype)
+    flat = jax.lax.dynamic_update_slice(flat, b8, (BIAS,))
+    if _interpret():
+        return jnp.concatenate(
+            [jnp.roll(flat, -8 * k) for k in range(BANK_K)]
+        ).reshape(-1, LANES)
+    # rows_blk divides bank_rows so every block maps to ONE copy k
+    rows_blk = 64
+    for cand in (256, 128, 64):
+        if bank_rows % cand == 0:
+            rows_blk = cand
+            break
+    x2 = jnp.concatenate(
+        [flat, jnp.zeros(8 * LANES, flat.dtype)]
+    ).reshape(-1, LANES)
+    n_blocks = BANK_K * bank_rows // rows_blk
+    per_copy = bank_rows // rows_blk
+    return pl.pallas_call(
+        functools.partial(
+            _bank_kernel, rows_blk=rows_blk, per_copy=per_copy
+        ),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(
+            x2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )],
+        out_specs=pl.BlockSpec(
+            (rows_blk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (BANK_K * bank_rows, LANES), b_val.dtype
+        ),
+    )(x2)
+
+
+def bank_rows_for(nnz_b8: int) -> int:
+    """Bank row count for an aligned b8 table of ``nnz_b8`` slots
+    (rounded to 64 rows so the bank-builder kernel gets 8-divisible
+    blocks)."""
+    rows = (BIAS + _round_up(nnz_b8 + TILE + LANES, LANES)) // LANES
+    return _round_up(rows, 64)
+
+
 def piecewise_expand(
     plan: PiecewisePlan, a_val: jax.Array, b_val: jax.Array
 ) -> jax.Array:
@@ -429,13 +497,8 @@ def piecewise_expand(
         # 8-aligned table + BANK_K pre-rolled flat copies: every piece
         # becomes one dynamic sublane slice (lane rolls cost ~8 cyc/vreg
         # on this VPU; sublane slices are free)
-        b8 = flat_gather(plan.b8_gp, b_val)
-        flat = jnp.zeros(plan.bank_rows * LANES, dt)
-        flat = jax.lax.dynamic_update_slice(flat, b8, (BIAS,))
-        tbl2 = jnp.concatenate(
-            [jnp.roll(flat, -8 * k) for k in range(BANK_K)]
-        ).reshape(-1, LANES)
-        fb_table = b8
+        tbl2 = build_bank(plan.b8_gp, plan.bank_rows, b_val)
+        fb_table = flat_gather(plan.b8_gp, b_val)
     else:
         tbl_rows = (
             _round_up(plan.nnz_b + TILE + SRC_ROWS * LANES, LANES) // LANES

@@ -104,14 +104,30 @@ class FusedClassPlan:
     ref_ext_idx: object
     ref_entry_idx: object
     ref_tier_idx: Tuple
-    w: int = dataclasses.field(metadata=dict(static=True))
-    blk: int = dataclasses.field(metadata=dict(static=True))
-    lv: int = dataclasses.field(metadata=dict(static=True))
-    levels: Tuple = dataclasses.field(metadata=dict(static=True))
-    tier_meta: Tuple = dataclasses.field(metadata=dict(static=True))
-    j_cap: int = dataclasses.field(metadata=dict(static=True))
-    n_steps: int = dataclasses.field(metadata=dict(static=True))
-    slots: int = dataclasses.field(metadata=dict(static=True))
+    # v2 (in-kernel expansion + tier-1 Benes); None/zeros when expand=False
+    etrips: object = None
+    ecuts: object = None
+    eboffs: object = None
+    m1o: object = None
+    m1t: object = None
+    w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    blk: int = dataclasses.field(default=0, metadata=dict(static=True))
+    lv: int = dataclasses.field(default=0, metadata=dict(static=True))
+    levels: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    tier_meta: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    j_cap: int = dataclasses.field(default=8, metadata=dict(static=True))
+    n_steps: int = dataclasses.field(default=0, metadata=dict(static=True))
+    slots: int = dataclasses.field(default=0, metadata=dict(static=True))
+    expand: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    j2_cap: int = dataclasses.field(default=8, metadata=dict(static=True))
+    apv_lo: int = dataclasses.field(default=0, metadata=dict(static=True))
+    apv_hi: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def class_levels(W: int, lv: int, tier_vs) -> Tuple:
@@ -191,7 +207,9 @@ def _make_fused_kernel(cfg):
     ROWS = BLK // LANES
     RPW = W // LANES
     PR = PYR_BIAS + sum(r for _, r, _ in LEVELS) * NWB + TILE_ROWS
-    # debug phase gate: "f0" | "folds" | "tiers" | "extract" | "full"
+    EXPAND = cfg["expand"]
+    J2_CAP = cfg.get("j2_cap", 8)
+    # debug phase gate
     PHASES = cfg.get("phases", "full")
     _ORDER = ("f0", "folds", "tiers", "extract", "full")
     PLIM = _ORDER.index(PHASES)
@@ -199,24 +217,95 @@ def _make_fused_kernel(cfg):
     def lvl_base(li):
         return PYR_BIAS + LEVELS[li][2] * NWB
 
-    def kern(trips_r, cuts_r, ends_r, srows_r, x_r, emo_r, emt_r, *rest):
-        tier_masks = rest[:N_TIERS]
-        o_r, pyr, e_s = rest[N_TIERS:]
+    stages_w = list(enumerate(_benes_stages(W)))
+    wv_w = W.bit_length() - 1
+    s_total_w = 2 * wv_w - 1
+    kk_w = max(wv_w - 7, 0)
 
-        # --- 1. F0 (bias rows zeroed once per first step visit) -------
-        pyr[0:PYR_BIAS, :] = jnp.zeros((PYR_BIAS, LANES), x_r.dtype)
-        pyr[PYR_BIAS : PYR_BIAS + ROWS, :] = x_r[:]
-        pyr[PR - TILE_ROWS : PR, :] = jnp.zeros(
-            (TILE_ROWS, LANES), x_r.dtype
+    def split_benes_scratch(buf, mo_r, mt_r, store):
+        """Width-W split Benes applied through a (ROWS, 128) scratch ref;
+        ``store(w, val)`` receives each window's final rows."""
+        if kk_w:
+            for w in range(NWB):
+                zw = buf[w * RPW : (w + 1) * RPW, :]
+                mw = mo_r[w * RPW : (w + 1) * RPW, :]
+                buf[w * RPW : (w + 1) * RPW, :] = _apply_stages(
+                    zw, mw, stages_w[:kk_w]
+                )
+        for g in range(ROWS // LANES):
+            zt = _trans128(buf[g * LANES : (g + 1) * LANES, :])
+            zt = _apply_stages(
+                zt, mt_r[g * LANES : (g + 1) * LANES, :],
+                stages_w[kk_w : s_total_w - kk_w], sub_dist=True,
+            )
+            buf[g * LANES : (g + 1) * LANES, :] = _trans128(zt)
+        for w in range(NWB):
+            zw = buf[w * RPW : (w + 1) * RPW, :]
+            if kk_w:
+                mw = mo_r[w * RPW : (w + 1) * RPW, :]
+                zw = _apply_stages(zw, mw, stages_w[s_total_w - kk_w :])
+            store(w, zw)
+
+    pos = None  # built lazily inside the kernel
+
+    def kern_body(refs):
+        (etrips_r, ecuts_r, eboffs_r, eapv_r, bank_r, x_r,
+         trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r, m1o_r, m1t_r,
+         tier_masks, o_r, pyr, e_s) = refs
+
+        pos = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_ROWS, LANES), 0
+            ) * LANES
+            + jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_ROWS, LANES), 1
+            )
         )
+        dt = o_r.dtype
+
+        # --- 0/1. products into PYR F0 -------------------------------
+        pyr[0:PYR_BIAS, :] = jnp.zeros((PYR_BIAS, LANES), dt)
+        pyr[PR - TILE_ROWS : PR, :] = jnp.zeros((TILE_ROWS, LANES), dt)
+        if EXPAND:
+            # expansion (aligned-bank pieces) into the E scratch, then
+            # the tier-1 Benes lands F0 in PYR
+            W8 = J2_CAP // 8  # piece tables: 8 rows per step
+
+            def exp_sub(s, carry):
+                w8b = W8.bit_length() - 1  # W8 is a power of two
+
+                def piece(j, acc):
+                    r8 = j >> w8b
+                    c8 = j & (W8 - 1)
+                    cut = ecuts_r[r8, c8]
+                    boff = eboffs_r[r8, c8]
+                    av = eapv_r[r8, c8]
+                    seg = bank_r[pl.ds(boff, TILE_ROWS), :]
+                    return jnp.where(pos >= cut, seg * av, acc)
+
+                acc = jax.lax.fori_loop(
+                    etrips_r[s, 0], etrips_r[s, 1], piece,
+                    jnp.zeros((TILE_ROWS, LANES), dt),
+                )
+                e_s[pl.ds(s * TILE_ROWS, TILE_ROWS), :] = acc
+                return carry
+
+            jax.lax.fori_loop(0, SUBS, exp_sub, 0)
+            split_benes_scratch(
+                e_s, m1o_r, m1t_r,
+                lambda w, zw: pyr.__setitem__(
+                    (slice(PYR_BIAS + w * RPW, PYR_BIAS + (w + 1) * RPW),
+                     slice(None)), zw
+                ),
+            )
+        else:
+            pyr[PYR_BIAS : PYR_BIAS + ROWS, :] = x_r[:]
         if PLIM == 0:
-            o_r[:] = x_r[:]
+            o_r[:] = pyr[PYR_BIAS : PYR_BIAS + ROWS, :]
             return
 
         # --- 2/3. folds + tiers --------------------------------------
         def fold_store(cur, cur_width, cur_rows, dst_li):
-            """One halving fold of ``cur`` ((NWB * cur_rows, 128)) into
-            LEVELS[dst_li]; returns the stored value + its geometry."""
             dwidth, drpw, _ = LEVELS[dst_li]
             db = lvl_base(dst_li)
             if cur_width >= 2 * LANES:
@@ -225,7 +314,6 @@ def _make_fused_kernel(cfg):
                 r = (v3[:, :h] + v3[:, h:]).reshape(NWB * h, LANES)
                 pyr[db : db + NWB * h, :] = r
                 return r, cur_width // 2, h
-            # lane-granular: width <= 128, halves within the row
             hw = cur_width // 2
             v2 = cur.reshape(NWB, cur_rows * LANES)
             r = v2[:, :hw] + v2[:, hw : 2 * hw]
@@ -236,7 +324,7 @@ def _make_fused_kernel(cfg):
             pyr[db : db + NWB * drpw, :] = pad
             return pad, hw, drpw
 
-        cur = x_r[:]
+        cur = pyr[PYR_BIAS : PYR_BIAS + ROWS, :]
         cw, cr = W, RPW
         for k in range(1, LV + 1):
             cur, cw, cr = fold_store(cur, cw, cr, k)
@@ -246,12 +334,10 @@ def _make_fused_kernel(cfg):
 
         li = LV + 1
         for ti, (v_in, V, mid_mode) in enumerate(TIERS):
-            # arena: per window [prev_L3 (v_in) | zeros]; v_in >= 128
             src3 = cur.reshape(NWB, cr, LANES)
             arena = jnp.concatenate(
                 [src3, jnp.zeros_like(src3)], axis=1
             ).reshape(NWB * 2 * cr, LANES)
-            t_rows = NWB * 2 * cr
             if mid_mode == "trans":
                 tmo = tier_masks[ti][0][:]
                 tmt = tier_masks[ti][1][:]
@@ -270,15 +356,6 @@ def _make_fused_kernel(cfg):
             return
 
         # --- 4. extraction -------------------------------------------
-        pos = (
-            jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_ROWS, LANES), 0
-            ) * LANES
-            + jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_ROWS, LANES), 1
-            )
-        )
-
         def sub_body(s, carry):
             def piece(j, acc):
                 cut = cuts_r[s, j]
@@ -289,7 +366,7 @@ def _make_fused_kernel(cfg):
 
             acc = jax.lax.fori_loop(
                 0, trips_r[s, 0], piece,
-                jnp.zeros((TILE_ROWS, LANES), x_r.dtype),
+                jnp.zeros((TILE_ROWS, LANES), dt),
             )
             e_s[pl.ds(s * TILE_ROWS, TILE_ROWS), :] = acc
             return carry
@@ -299,41 +376,49 @@ def _make_fused_kernel(cfg):
             o_r[:] = e_s[0:ROWS, :]
             return
 
-        # --- 5. entry Benes (width W) --------------------------------
-        stages = list(enumerate(_benes_stages(W)))
-        wv = W.bit_length() - 1
-        s_total = 2 * wv - 1
-        kk = max(wv - 7, 0)
-        # outer pre, per window (row distances stay within the window)
-        if kk:
-            for w in range(NWB):
-                zw = e_s[w * RPW : (w + 1) * RPW, :]
-                mw = emo_r[w * RPW : (w + 1) * RPW, :]
-                e_s[w * RPW : (w + 1) * RPW, :] = _apply_stages(
-                    zw, mw, stages[:kk]
-                )
-        # transposed middle, per 128-row group
-        for g in range(ROWS // LANES):
-            zt = _trans128(e_s[g * LANES : (g + 1) * LANES, :])
-            zt = _apply_stages(
-                zt, emt_r[g * LANES : (g + 1) * LANES, :],
-                stages[kk : s_total - kk], sub_dist=True,
-            )
-            e_s[g * LANES : (g + 1) * LANES, :] = _trans128(zt)
-        # outer post, per window, into the output block
-        for w in range(NWB):
-            zw = e_s[w * RPW : (w + 1) * RPW, :]
-            if kk:
-                mw = emo_r[w * RPW : (w + 1) * RPW, :]
-                zw = _apply_stages(zw, mw, stages[s_total - kk :])
-            o_r[w * RPW : (w + 1) * RPW, :] = zw
+        # --- 5. entry Benes ------------------------------------------
+        split_benes_scratch(
+            e_s, emo_r, emt_r,
+            lambda w, zw: o_r.__setitem__(
+                (slice(w * RPW, (w + 1) * RPW), slice(None)), zw
+            ),
+        )
+
+    if EXPAND:
+        def kern(etrips_r, ecuts_r, eboffs_r, eapv_r, bank_r,
+                 trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r,
+                 m1o_r, m1t_r, *rest):
+            tier_masks = rest[:N_TIERS]
+            o_r, pyr, e_s = rest[N_TIERS:]
+            kern_body((etrips_r, ecuts_r, eboffs_r, eapv_r, bank_r, None,
+                       trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r,
+                       m1o_r, m1t_r, tier_masks, o_r, pyr, e_s))
+    else:
+        def kern(trips_r, cuts_r, ends_r, srows_r, x_r, emo_r, emt_r,
+                 *rest):
+            tier_masks = rest[:N_TIERS]
+            o_r, pyr, e_s = rest[N_TIERS:]
+            kern_body((None, None, None, None, None, x_r,
+                       trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r,
+                       None, None, tier_masks, o_r, pyr, e_s))
 
     return kern, PR
 
 
-def fused_class_apply(plan: FusedClassPlan, x: jax.Array) -> jax.Array:
-    """Run the fused reduction on one class's tier-1-permuted slots;
-    returns the (slots,) entry-ordered class arena."""
+def fused_class_apply(
+    plan: FusedClassPlan,
+    x: jax.Array = None,
+    bank: jax.Array = None,
+    apv: jax.Array = None,
+) -> jax.Array:
+    """Run the fused reduction for one class; returns the (slots,)
+    entry-ordered class arena.
+
+    v1 mode (``plan.expand == False``): ``x`` is the tier-1-permuted
+    product array.  v2 mode: ``bank`` is the pre-rolled (rows, 128) b8
+    table, ``apv`` the per-piece A values; expansion and the tier-1
+    Benes run inside the kernel.
+    """
     if plan.ref_ext_idx is not None:
         return _fused_reference(plan, x)
 
@@ -341,18 +426,19 @@ def fused_class_apply(plan: FusedClassPlan, x: jax.Array) -> jax.Array:
 
     cfg = dict(
         w=plan.w, blk=plan.blk, lv=plan.lv, levels=plan.levels,
-        tier_meta=plan.tier_meta, j_cap=plan.j_cap,
+        tier_meta=plan.tier_meta, j_cap=plan.j_cap, expand=plan.expand,
+        j2_cap=plan.j2_cap,
         phases=os.environ.get("NSPARSE_FUSED_PHASES", "full"),
     )
     kern, PR = _make_fused_kernel(cfg)
     ROWS = plan.blk // LANES
     SUBS = plan.blk // TILE
     NWB = plan.blk // plan.w
+    dt = (bank if plan.expand else x).dtype
 
-    def smem(cols=None):
+    def smem(cols, dtype=None):
         return pl.BlockSpec(
-            (SUBS, cols or plan.j_cap), lambda i: (i, 0),
-            memory_space=pltpu.SMEM,
+            (SUBS, cols), lambda i: (i, 0), memory_space=pltpu.SMEM
         )
 
     def vmem_rows(rows):
@@ -360,28 +446,51 @@ def fused_class_apply(plan: FusedClassPlan, x: jax.Array) -> jax.Array:
             (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
-    in_specs = [
-        smem(8), smem(), smem(), smem(),
-        vmem_rows(ROWS), vmem_rows(ROWS), vmem_rows(ROWS),
-    ]
-    args = [
-        plan.trips, plan.cuts, plan.ends, plan.srows,
-        x[: plan.slots].reshape(-1, LANES),
-        plan.emo, plan.emt,
-    ]
-    t_rows_max = TILE_ROWS
-    wrapped_masks = []
+    in_specs = []
+    args = []
+    if plan.expand:
+        w8 = plan.j2_cap // 8
+
+        def smem_step():
+            return pl.BlockSpec(
+                (8, w8), lambda i: (i, 0), memory_space=pltpu.SMEM
+            )
+
+        in_specs += [
+            smem(8), smem_step(), smem_step(), smem_step(),
+            pl.BlockSpec(
+                bank.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        args += [
+            plan.etrips, plan.ecuts, plan.eboffs,
+            apv.reshape(-1, w8), bank,
+        ]
+    in_specs += [smem(8), smem(plan.j_cap), smem(plan.j_cap),
+                 smem(plan.j_cap)]
+    args += [plan.trips, plan.cuts, plan.ends, plan.srows]
+    if not plan.expand:
+        in_specs.append(vmem_rows(ROWS))
+        args.append(x[: plan.slots].reshape(-1, LANES))
+    in_specs += [vmem_rows(ROWS), vmem_rows(ROWS)]
+    args += [plan.emo, plan.emt]
+    if plan.expand:
+        in_specs += [vmem_rows(ROWS), vmem_rows(ROWS)]
+        args += [plan.m1o, plan.m1t]
+
+    arity = []
     for (v_in, V, mode), masks in zip(plan.tier_meta, plan.tier_masks):
         t_rows = NWB * V // LANES
-        t_rows_max = max(t_rows_max, t_rows)
-        wrapped_masks.append(len(masks))
-        for m in masks:
+        arity.append(len(masks))
+        for mref in masks:
             in_specs.append(vmem_rows(t_rows))
-            args.append(m)
+            args.append(mref)
+    arity = tuple(arity)
+    n_lead = (13 if plan.expand else 7)
 
-    arity = tuple(wrapped_masks)
-
-    def flat_kern(trips, cuts, ends, srows, xx, emo, emt, *rest):
+    def flat_kern(*fargs):
+        lead = fargs[:n_lead]
+        rest = fargs[n_lead:]
         n_masks = sum(arity)
         masks_flat = rest[:n_masks]
         tail = rest[n_masks:]
@@ -389,8 +498,7 @@ def fused_class_apply(plan: FusedClassPlan, x: jax.Array) -> jax.Array:
         for a in arity:
             grouped.append(tuple(masks_flat[off : off + a]))
             off += a
-        return kern(trips, cuts, ends, srows, xx, emo, emt, *grouped,
-                    *tail)
+        return kern(*lead, *grouped, *tail)
 
     out = pl.pallas_call(
         flat_kern,
@@ -398,16 +506,15 @@ def fused_class_apply(plan: FusedClassPlan, x: jax.Array) -> jax.Array:
         in_specs=in_specs,
         out_specs=vmem_rows(ROWS),
         out_shape=jax.ShapeDtypeStruct(
-            (plan.n_steps * ROWS, LANES), x.dtype
+            (plan.n_steps * ROWS, LANES), dt
         ),
         scratch_shapes=[
-            pltpu.VMEM((PR, LANES), x.dtype),
-            pltpu.VMEM((ROWS, LANES), x.dtype),
+            pltpu.VMEM((PR, LANES), dt),
+            pltpu.VMEM((ROWS, LANES), dt),
         ],
         interpret=_interpret(),
     )(*args)
     return out.reshape(-1)
-
 
 def _fused_reference(plan: FusedClassPlan, x: jax.Array) -> jax.Array:
     """Off-TPU reference: same plan semantics via XLA gathers + sliced

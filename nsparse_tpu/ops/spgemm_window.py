@@ -175,12 +175,28 @@ class WindowStructure:
     fb_shuffle: object
     fb_lvl_idx: Tuple
     fb_perm: object
-    class_geom: Tuple = dataclasses.field(metadata=dict(static=True))
-    tier_geom: Tuple = dataclasses.field(metadata=dict(static=True))
-    fb_levels: Tuple = dataclasses.field(metadata=dict(static=True))
-    fb_off: int = dataclasses.field(metadata=dict(static=True))
-    fb_len: int = dataclasses.field(metadata=dict(static=True))
-    n_compact: int = dataclasses.field(metadata=dict(static=True))
+    b8_gp: object = None       # fused-expansion bank gather plan
+    apv_gp: object = None      # per-piece A-value gather plan
+    class_geom: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    tier_geom: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    fb_levels: Tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    fb_off: int = dataclasses.field(default=0, metadata=dict(static=True))
+    fb_len: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_compact: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    fused_expand: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    bank_rows: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def tiers(self):
@@ -827,10 +843,32 @@ def build_window_structure(
     ])
     ordr = np.argsort(run_start, kind="stable")
     exp_n = fb_base + fb_len
-    pw_plan = build_piecewise_plan(
-        run_start[ordr], run_boff[ordr], run_aidx[ordr], exp_n, nnz_a,
-        b8_len, b8_idx=b8_idx,
+    rs_s = run_start[ordr]
+    rb_s = run_boff[ordr]
+    ra_s = run_aidx[ordr]
+    from nsparse_tpu.ops.kernels.piecewise import (
+        BIAS as _PW_BIAS,
+        BANK_ROWS_MAX as _BANK_MAX,
+        bank_rows_for,
     )
+
+    bank_rows = bank_rows_for(b8_len)
+    # in-kernel expansion needs the pre-rolled bank resident next to the
+    # fused kernel's scratch: cap it below the standalone path's budget
+    fused_expand = want_masks and bank_rows * 16 * 512 <= 11 * 2**20
+    if fused_expand:
+        fsel = rs_s >= fb_base
+        if fsel.any():
+            pw_plan = build_piecewise_plan(
+                rs_s[fsel] - fb_base, rb_s[fsel], ra_s[fsel], fb_len,
+                nnz_a, b8_len, b8_idx=b8_idx,
+            )
+        else:
+            pw_plan = None
+    else:
+        pw_plan = build_piecewise_plan(
+            rs_s, rb_s, ra_s, exp_n, nnz_a, b8_len, b8_idx=b8_idx,
+        )
     _tick("piecewise-plan")
 
     # --- tier-1 Benes permutations per class ---------------------------
@@ -858,13 +896,23 @@ def build_window_structure(
     perm[empty] = np.flatnonzero(~used)
     _tick("benes/perm")
     benes = []
+    m1_masks = {}
     for j in active:
         W = WIN_MIN << j
         base, slots = class_base[j], class_slots[j]
         local = (perm[base : base + slots] - np.int32(base)) & np.int32(
             W - 1
         )
-        benes.append(build_tile_benes(local, W))
+        if fused_expand:
+            from nsparse_tpu.native import benes_route_split as _brs
+
+            mo1, mt1 = _brs(local, W)
+            m1_masks[j] = (
+                jnp.asarray(mo1.reshape(-1, LANES)),
+                jnp.asarray(mt1.reshape(-1, LANES)),
+            )
+        else:
+            benes.append(build_tile_benes(local, W))
     _tick("benes-route")
 
     # --- tier mask routing (deferred past the packing loop) ------------
@@ -912,6 +960,9 @@ def build_window_structure(
     fused_plans = []
     class_arena_base = {}
     arena_cur = 0
+    eaidx_all = []
+    eaidx_splits = []
+    eaidx_off = 0
     from nsparse_tpu.ops.kernels.window_fused import TILE as _FTILE
 
     for ci, ((base, slots, W, lv), j) in enumerate(
@@ -996,6 +1047,63 @@ def build_window_structure(
         tripsp = np.zeros((n_sub, 8), np.int32)
         tripsp[:, 0] = np.minimum(count, j_cap)
 
+        # expansion piece tables (flat per step; in-kernel aligned-bank
+        # pieces replace the standalone piecewise kernel)
+        ecuts = eboffs = etrips = None
+        eaidx_cls = None
+        j2_cap = 8
+        if fused_expand:
+            esel_r = (rs_s >= base) & (rs_s < base + slots)
+            ers = rs_s[esel_r] - base
+            erb = rb_s[esel_r]
+            era = ra_s[esel_r]
+            sub_b = np.arange(n_sub, dtype=np.int64) * _FTILE
+            efirst = np.searchsorted(ers, sub_b, side="right") - 1
+            starts_in = np.bincount(
+                np.minimum(ers // _FTILE, n_sub - 1), minlength=n_sub
+            )
+            at_base = np.zeros(n_sub, dtype=bool)
+            rb0 = ers[(ers % _FTILE == 0)] // _FTILE
+            at_base[rb0] = True
+            ecount = starts_in + (~at_base).astype(np.int64)
+            # flat per-step piece regions
+            cnt_step = ecount.reshape(n_steps, SUBS)
+            pieces_step = cnt_step.sum(axis=1)
+            pstep_w = max(
+                128,
+                1 << (max(int(pieces_step.max(initial=0)), 1) - 1)
+                .bit_length(),
+            )
+            j2_cap = pstep_w
+            ecuts = np.zeros((n_steps, pstep_w), np.int32)
+            eboffs = np.zeros((n_steps, pstep_w), np.int32)
+            eaidx_cls = np.full((n_steps, pstep_w), nnz_a, np.int64)
+            etrips = np.zeros((n_sub, 8), np.int32)
+            # per-subtile [start, end) within the step's flat region
+            off_in_step = np.concatenate([
+                np.zeros((n_steps, 1), np.int64),
+                np.cumsum(cnt_step, axis=1)[:, :-1],
+            ], axis=1).reshape(-1)
+            etrips[:, 0] = off_in_step
+            etrips[:, 1] = off_in_step + ecount
+            # piece k of subtile t is run efirst[t] + k
+            tsub = np.repeat(np.arange(n_sub, dtype=np.int64), ecount)
+            kk2 = np.arange(int(ecount.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(ecount)[:-1]]), ecount
+            )
+            rr2 = np.minimum(efirst[tsub] + kk2, ers.size - 1)
+            cut2 = np.clip(ers[rr2] - sub_b[tsub], 0, _FTILE)
+            eff = erb[rr2] - ers[rr2] + sub_b[tsub] + _PW_BIAS
+            code = (eff % LANES) // 8 * bank_rows + eff // LANES
+            stp = tsub // SUBS
+            pj = off_in_step[tsub] + kk2
+            ecuts[stp, pj] = cut2
+            eboffs[stp, pj] = code
+            eaidx_cls[stp, pj] = era[rr2]
+            # SMEM blocks: 8 rows per step (Pallas last-two-dims rule)
+            ecuts = ecuts.reshape(n_steps * 8, pstep_w // 8)
+            eboffs = eboffs.reshape(n_steps * 8, pstep_w // 8)
+
         # entry permutation per window: out[(phi + rank) % W] = E[pos]
         eids = went[win_class[we_win] == j]
         ew = win_of_entry[eids]
@@ -1039,6 +1147,14 @@ def build_window_structure(
             ref_entry = jnp.asarray(eperm.astype(np.int32))
             ref_tiers = tuple(ref_tier_cls[ci])
 
+        if fused_expand:
+            eaidx_all.append(eaidx_cls.reshape(-1).astype(np.int32))
+            eaidx_splits.append(
+                (eaidx_off, eaidx_off + eaidx_cls.size)
+            )
+            eaidx_off += eaidx_cls.size
+        else:
+            eaidx_splits.append((0, 0))
         fused_plans.append(FusedClassPlan(
             trips=jnp.asarray(tripsp),
             cuts=jnp.asarray(cuts),
@@ -1046,6 +1162,15 @@ def build_window_structure(
             srows=jnp.asarray(srows),
             emo=emo,
             emt=emt,
+            etrips=jnp.asarray(etrips) if fused_expand else None,
+            ecuts=jnp.asarray(ecuts) if fused_expand else None,
+            eboffs=jnp.asarray(eboffs) if fused_expand else None,
+            m1o=m1_masks[j][0] if fused_expand else None,
+            m1t=m1_masks[j][1] if fused_expand else None,
+            expand=bool(fused_expand),
+            j2_cap=int(j2_cap),
+            apv_lo=int(eaidx_splits[-1][0]),
+            apv_hi=int(eaidx_splits[-1][1]),
             tier_masks=tuple(
                 tuple(t) for t in tier_masks_cls[ci]
             ) if want_masks else tuple(
@@ -1170,6 +1295,22 @@ def build_window_structure(
     )
     _tick("asm/merge")
 
+    b8_gp_top = None
+    apv_gp_top = None
+    if fused_expand:
+        from nsparse_tpu.ops.kernels.flat_gather import (
+            build_flat_gather_plan,
+        )
+
+        eaidx_cat = (
+            np.concatenate(eaidx_all) if eaidx_all
+            else np.zeros(0, np.int32)
+        )
+        apv_gp_top = build_flat_gather_plan(eaidx_cat)
+        b8_gp_top = build_flat_gather_plan(
+            np.asarray(b8_idx, dtype=np.int32)
+        )
+        _tick("apv-gp")
     win = WindowStructure(
         benes=tuple(benes),
         fused=tuple(fused_plans),
@@ -1177,12 +1318,16 @@ def build_window_structure(
         fb_shuffle=fb_shuffle,
         fb_lvl_idx=fb_lvl_idx,
         fb_perm=fb_perm,
+        b8_gp=b8_gp_top,
+        apv_gp=apv_gp_top,
         class_geom=tuple(class_geom),
         tier_geom=tuple(tier_geoms),
         fb_levels=fb_levels,
-        fb_off=int(fb_base),
+        fb_off=0 if fused_expand else int(fb_base),
         fb_len=int(fb_len),
         n_compact=int(arena_len),
+        fused_expand=bool(fused_expand),
+        bank_rows=int(bank_rows),
     )
     return win, pw_plan
 
@@ -1202,15 +1347,30 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     from nsparse_tpu.ops.spgemm import slab_class_reduce
 
     w: WindowStructure = plan.win
-    prod = piecewise_expand(plan.pw, a.val, b.val)
     segs = []
-    for bp, fp, (base, slots, width, levels) in zip(
-        w.benes, w.fused, w.class_geom
-    ):
-        x = tile_benes_apply(bp, prod[base : base + slots])
-        segs.append(fused_class_apply(fp, x))
+    if w.fused_expand:
+        from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+        from nsparse_tpu.ops.kernels.piecewise import build_bank
+
+        bank = build_bank(w.b8_gp, w.bank_rows, b.val)
+        a_pad = jnp.concatenate([a.val, jnp.zeros(1, a.val.dtype)])
+        apv_cat = flat_gather(w.apv_gp, a_pad)
+        for fp in w.fused:
+            segs.append(fused_class_apply(
+                fp, bank=bank, apv=apv_cat[fp.apv_lo : fp.apv_hi]
+            ))
+        prod = None
+    else:
+        prod = piecewise_expand(plan.pw, a.val, b.val)
+        for bp, fp, (base, slots, width, levels) in zip(
+            w.benes, w.fused, w.class_geom
+        ):
+            x = tile_benes_apply(bp, prod[base : base + slots])
+            segs.append(fused_class_apply(fp, x))
     res = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
     if w.fb_shuffle is not None:
+        if prod is None:
+            prod = piecewise_expand(plan.pw, a.val, b.val)
         fb_in = prod[w.fb_off : w.fb_off + w.fb_len]
         fbs = planned_shuffle(w.fb_shuffle, fb_in)
         fb_res = slab_class_reduce(fbs, w.fb_levels, w.fb_lvl_idx)

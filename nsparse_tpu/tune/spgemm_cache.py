@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 7  # v7: fused kernel with dynamic-trip extraction
+PLAN_VERSION = 8  # v8: in-kernel expansion + tier-1 Benes (fused_expand)
 
 
 def _registry():
