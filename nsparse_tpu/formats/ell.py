@@ -78,6 +78,11 @@ class ELL:
     uniq_cols_gp: object = None   # FlatGatherPlan: x -> unique used cols
     xfill_gp: object = None       # FlatGatherPlan: fill in col-sorted order
     xsh: object = None            # ShufflePlan: col-sorted -> slab order
+    # row splitting (SELL-style chunks): rows wider than split_width are
+    # cut into chunks; ``pos`` points at the first chunk and the extra
+    # chunk partials combine through these tables (None = no split rows)
+    split_rows: object = None     # (k,) int32 original row ids
+    split_slots: object = None    # (k, C) int32 extra chunk slots (-1 pad)
 
     @property
     def dtype(self):
@@ -98,6 +103,7 @@ class ELL:
         sigma: int | None = 1024,
         window: int = 1024,
         xshuffle: bool | None = None,
+        split_width: int | None = 512,
     ) -> "ELL":
         """Host-side conversion (the ``sf_csr2amb`` analog, minus the timer
         search — see ``nsparse_tpu.tune.autotune`` for that).
@@ -111,6 +117,11 @@ class ELL:
             additionally bounds the output-permutation distance so the final
             gather stays window-routable on TPU.
           window: roll-scan window width for the gather routing.
+          split_width: rows wider than this split into chunks (bounding
+            slab padding on power-law degree tails — the few hub rows of
+            an R-MAT graph otherwise pad 128-row pow2 slabs nearly empty);
+            chunk partials recombine with one tiny gather + add.  None
+            disables splitting.
         """
         m, n = a.shape
         rpt, col, val = a.host_arrays()
@@ -118,21 +129,50 @@ class ELL:
         val = val[: a.nnz]
         deg = np.diff(rpt)
 
-        # sigma-windowed descending sort by row length (sigma=0: no sort —
-        # preserves the row order, keeping banded matrices' quasi-diagonal
-        # access affine for the banded gather class)
-        order = np.empty(m, dtype=np.int64)
+        # --- row splitting: virtual rows = chunks of split_width --------
+        v_rpt = rpt[:-1].astype(np.int64)
+        v_deg = deg.astype(np.int64)
+        v_parent = np.arange(m, dtype=np.int64)
+        first_chunk = np.ones(m, dtype=bool)
+        if split_width is not None and m and deg.max(initial=0) > split_width:
+            heavy = np.flatnonzero(deg > split_width)
+            nch = -(-deg[heavy] // split_width)
+            rep = np.repeat(heavy, nch)
+            cum = np.concatenate([[0], np.cumsum(nch)[:-1]])
+            kin = (
+                np.arange(rep.size, dtype=np.int64)
+                - np.repeat(cum, nch)
+            )
+            ch_rpt = rpt[rep] + kin * split_width
+            ch_deg = np.minimum(
+                deg[rep] - kin * split_width, split_width
+            )
+            keepm = deg <= split_width
+            v_rpt = np.concatenate([rpt[:-1][keepm], ch_rpt])
+            v_deg = np.concatenate([deg[keepm], ch_deg])
+            v_parent = np.concatenate(
+                [np.flatnonzero(keepm).astype(np.int64), rep]
+            )
+            first_chunk = np.concatenate(
+                [np.ones(int(keepm.sum()), bool), kin == 0]
+            )
+        mv = v_deg.size  # virtual row count
+
+        # sigma-windowed descending sort by (virtual) row length (sigma=0:
+        # no sort — preserves the row order, keeping banded matrices'
+        # quasi-diagonal access affine for the banded gather class)
+        order = np.empty(mv, dtype=np.int64)
         if sigma == 0:
-            order = np.arange(m, dtype=np.int64)
-        elif sigma is None or sigma >= m:
-            order = np.argsort(-deg, kind="stable")
+            order = np.arange(mv, dtype=np.int64)
+        elif sigma is None or sigma >= mv:
+            order = np.argsort(-v_deg, kind="stable")
         else:
-            for s in range(0, m, sigma):
-                e = min(s + sigma, m)
-                order[s:e] = s + np.argsort(-deg[s:e], kind="stable")
+            for s in range(0, mv, sigma):
+                e = min(s + sigma, mv)
+                order[s:e] = s + np.argsort(-v_deg[s:e], kind="stable")
 
         # geometric width classes
-        max_deg = int(deg.max()) if m else 0
+        max_deg = int(v_deg.max()) if mv else 0
         levels = []
         w = max(int(min_width), 1)
         while True:
@@ -147,14 +187,14 @@ class ELL:
 
         # vectorized level assignment: smallest level with w >= deg
         lev_arr = np.asarray(levels, dtype=np.int64)
-        level = np.searchsorted(lev_arr, deg, side="left")
+        level = np.searchsorted(lev_arr, v_deg, side="left")
         level = np.minimum(level, len(levels) - 1)
         if val.size == 0:  # fully empty matrix: keep gathers in-bounds
             val = np.zeros(1, dtype=val.dtype)
             col = np.zeros(1, dtype=col.dtype)
 
         vals, colss, widths, colss_np, lens_l = [], [], [], [], []
-        pos = np.zeros(m, dtype=np.int32)
+        vpos = np.zeros(mv, dtype=np.int32)
         offset = 0
         lev_of_order = level[order]
         for li, w in enumerate(levels):
@@ -162,9 +202,9 @@ class ELL:
             if rows.size == 0:
                 continue
             rpad = _round_up(rows.size, LANES)
-            d = np.minimum(deg[rows], w)
+            d = np.minimum(v_deg[rows], w)
             # (w, R) gather indices into the flat nnz arrays
-            idx = rpt[rows][None, :] + np.arange(w)[:, None]
+            idx = v_rpt[rows][None, :] + np.arange(w)[:, None]
             mask = np.arange(w)[:, None] < d[None, :]
             idx = np.where(mask, idx, 0)
             # padding slots replicate the row's last valid column (val 0) —
@@ -172,14 +212,14 @@ class ELL:
             # here it keeps padding tiles quasi-diagonal so the banded
             # gather class still routes them
             last_idx = np.minimum(
-                rpt[rows] + np.maximum(d - 1, 0), col.size - 1
+                v_rpt[rows] + np.maximum(d - 1, 0), col.size - 1
             )
             lastcol = np.where(d > 0, col[last_idx], 0).astype(np.int32)
             sval = np.zeros((w, rpad), dtype=val.dtype)
             scol = np.zeros((w, rpad), dtype=np.int32)
             sval[:, : rows.size] = np.where(mask, val[idx], 0)
             scol[:, : rows.size] = np.where(mask, col[idx], lastcol[None, :])
-            pos[rows] = offset + np.arange(rows.size, dtype=np.int32)
+            vpos[rows] = offset + np.arange(rows.size, dtype=np.int32)
             ln = np.zeros(rpad, dtype=np.int32)
             ln[: rows.size] = d
             lens_l.append(jnp.asarray(ln))
@@ -188,6 +228,34 @@ class ELL:
             colss_np.append(scol)
             widths.append(w)
             offset += rpad
+
+        # original-row pos = first chunk's slot; extra chunks recombine
+        pos = np.zeros(m, dtype=np.int32)
+        pos[v_parent[first_chunk]] = vpos[first_chunk]
+        split_rows_np = split_slots_np = None
+        extra = ~first_chunk
+        if extra.any():
+            er = v_parent[extra]
+            es = vpos[extra]
+            o2 = np.argsort(er, kind="stable")
+            er = er[o2]
+            es = es[o2]
+            f2 = np.flatnonzero(
+                np.diff(np.concatenate([[-1], er])) != 0
+            )
+            cnt2 = np.diff(np.concatenate([f2, [er.size]]))
+            cmax = int(cnt2.max())
+            split_rows_np = er[f2].astype(np.int32)
+            split_slots_np = np.full(
+                (f2.size, cmax), -1, np.int32
+            )
+            kk = (
+                np.arange(er.size, dtype=np.int64)
+                - np.repeat(f2, cnt2)
+            )
+            split_slots_np[
+                np.repeat(np.arange(f2.size), cnt2), kk
+            ] = es
 
         if not vals:  # empty matrix
             vals = [jnp.zeros((1, LANES), dtype=val.dtype)]
@@ -246,6 +314,14 @@ class ELL:
             vals=tuple(vals),
             cols=tuple(colss),
             pos=jnp.asarray(pos),
+            split_rows=(
+                jnp.asarray(split_rows_np)
+                if split_rows_np is not None else None
+            ),
+            split_slots=(
+                jnp.asarray(split_slots_np)
+                if split_slots_np is not None else None
+            ),
             cols_gp=cols_gp,
             pos_gp=pos_gp,
             shape=(m, n),

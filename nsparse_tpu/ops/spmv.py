@@ -67,6 +67,28 @@ def spmv_csr(a: CSR, x: jax.Array, semiring: str = "plus_times") -> jax.Array:
     return y[:m]
 
 
+
+def _apply_row_splits(a: ELL, y: jax.Array, y_all: jax.Array,
+                      semiring: str) -> jax.Array:
+    """Fold the extra chunk partials of split rows into y (row splitting
+    bounds slab padding on power-law degree tails; see ELL.from_csr)."""
+    if a.split_rows is None:
+        return y
+    _, _, ident = SEMIRINGS[semiring]
+    reduce_e = _ELEM_REDUCE[semiring]
+    slots = a.split_slots
+    part = jnp.where(
+        slots >= 0, y_all[jnp.clip(slots, 0)],
+        jnp.asarray(ident, y.dtype),
+    )
+    if semiring == "plus_times":
+        return y.at[a.split_rows].add(jnp.sum(part, axis=1))
+    red = part[:, 0]
+    for c in range(1, int(slots.shape[1])):
+        red = reduce_e(red, part[:, c])
+    return y.at[a.split_rows].set(reduce_e(y[a.split_rows], red))
+
+
 def spmv_ell(
     a: ELL, x: jax.Array, semiring: str = "plus_times"
 ) -> jax.Array:
@@ -102,7 +124,7 @@ def spmv_ell(
                 acc = reduce_e(acc, g[wi])
             outs.append(acc)
         y_all = jnp.concatenate(outs, axis=0)
-        return y_all[a.pos]
+        return _apply_row_splits(a, y_all[a.pos], y_all, semiring)
 
     from nsparse_tpu.ops.kernels import flat_gather as _fg
 
@@ -127,9 +149,11 @@ def spmv_ell(
             outs.append(jnp.sum(val * sl, axis=0))
             off += val.size
         y_all = jnp.concatenate(outs, axis=0)
-        if a.pos_gp is not None:
-            return flat_gather(a.pos_gp, y_all)
-        return y_all[a.pos]
+        y = (
+            flat_gather(a.pos_gp, y_all) if a.pos_gp is not None
+            else y_all[a.pos]
+        )
+        return _apply_row_splits(a, y, y_all, semiring)
 
     if a.cols_gp and a.cols_gp[0] is not None:
         outs = []
@@ -137,15 +161,17 @@ def spmv_ell(
             g = flat_gather(gp, x, other=val.reshape(-1)).reshape(val.shape)
             outs.append(jnp.sum(g, axis=0))
         y_all = jnp.concatenate(outs, axis=0)
-        if a.pos_gp is not None:
-            return flat_gather(a.pos_gp, y_all)
-        return y_all[a.pos]
+        y = (
+            flat_gather(a.pos_gp, y_all) if a.pos_gp is not None
+            else y_all[a.pos]
+        )
+        return _apply_row_splits(a, y, y_all, semiring)
     outs = []
     for val, col in zip(a.vals, a.cols):
         # (W, R): reduce over the width axis; every step is a lane-wide FMA.
         outs.append(jnp.sum(val * x[col], axis=0))
     y_all = jnp.concatenate(outs, axis=0)
-    return y_all[a.pos]
+    return _apply_row_splits(a, y_all[a.pos], y_all, semiring)
 
 
 def spmv_coo(a, x: jax.Array) -> jax.Array:

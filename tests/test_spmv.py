@@ -202,3 +202,44 @@ def test_ell_xshuffle_path(monkeypatch):
     monkeypatch.setattr(fg, "FORCE_PALLAS", True)
     got = np.asarray(spmv(ell, x))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_ell_row_splitting_heavy_tail():
+    """Power-law degree tails: hub rows split into <= split_width chunks
+    (bounding slab padding); chunk partials recombine exactly."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from nsparse_tpu.formats.csr import CSR
+    from nsparse_tpu.formats.ell import ELL
+    from nsparse_tpu.ops.spmv import spmv_ell
+
+    rng = np.random.default_rng(9)
+    m = 512
+    rows, cols = [], []
+    for r in range(m):
+        d = 4 if r % 7 else 300  # every 7th row is a hub
+        cc = rng.choice(m, size=d, replace=False)
+        rows += [r] * d
+        cols += list(cc)
+    v = rng.standard_normal(len(rows))
+    s = sp.csr_matrix((v, (rows, cols)), shape=(m, m))
+    a = CSR.from_scipy(s.astype(np.float64))
+    e = ELL.from_csr(a, min_width=4, max_slabs=8, split_width=64)
+    assert e.split_rows is not None  # hubs actually split
+    assert max(e.widths) <= 64
+    x = jnp.asarray(rng.standard_normal(m))
+    y = spmv_ell(e, x)
+    np.testing.assert_allclose(
+        np.asarray(y), s @ np.asarray(x), rtol=1e-10, atol=1e-12
+    )
+    # padding bounded: chunks keep slabs dense
+    assert e.padded_nnz <= 3 * a.nnz
+
+    # min_plus semiring across split rows
+    y2 = spmv_ell(e, x, semiring="min_plus")
+    dense = np.where(s.toarray() != 0, s.toarray(), np.inf)
+    ref = np.min(dense + np.asarray(x)[None, :], axis=1)
+    np.testing.assert_allclose(np.asarray(y2), ref, rtol=1e-10)
