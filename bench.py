@@ -194,6 +194,30 @@ def main():
     emit(status="headline_done")
     log(f"spgemm-esc: ok={ok_esc}")
 
+    # one-shot: symbolic ON DEVICE + numeric, per call — the reference's
+    # timed model (symbolic inside every trial, spgemm_hash.cu:31-54).
+    # First call pays XLA compiles; the second is the algorithmic cost.
+    if over_budget(reserve=180):
+        log("over budget: skipping the one-shot spgemm extra")
+        STATE["oneshot_skipped"] = True
+    else:
+        from nsparse_tpu.ops.spgemm import spgemm as _spgemm_oneshot
+
+        log("spgemm-oneshot: compiling device-plan path")
+        c1 = _spgemm_oneshot(g, g)
+        jax.block_until_ready(c1.val)
+        t0 = time.time()
+        c2 = _spgemm_oneshot(g, g)
+        jax.block_until_ready(c2.val)
+        one_s = time.time() - t0
+        STATE["spgemm_oneshot_s"] = round(one_s, 3)
+        ok1 = check_spgemm_answer_device(
+            c2, spgemm_oracle(g, g), abs_ref=spgemm_abs_oracle(g, g)
+        )
+        STATE["spgemm_oneshot_ok"] = bool(ok1)
+        emit(status="oneshot_done")
+        log(f"spgemm-oneshot: {one_s:.3f} s end-to-end ok={ok1}")
+
     # --- MXU block path on an FEM-class matrix ----------------------------
     if over_budget(reserve=120):
         log("over budget: skipping the FEM/MXU extra")

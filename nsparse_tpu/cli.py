@@ -141,7 +141,8 @@ def cmd_spmv_xla(args):
 def cmd_spgemm(args):
     import jax
 
-    from nsparse_tpu.ops.spgemm import spgemm_numeric, spgemm_plan
+    from nsparse_tpu.ops.spgemm import (spgemm_numeric, spgemm_plan,
+                                        spgemm_plan_device)
     from nsparse_tpu.ops.spgemm_bsr import (choose_spgemm_path,
                                             plan_spgemm_bsr, spgemm_bsr,
                                             spgemm_bsr_blocks)
@@ -183,8 +184,16 @@ def cmd_spgemm(args):
         print("pass" if ok else "FAIL")
         return 0 if ok else 1
 
+    planner = getattr(args, "planner", "auto")
+    if planner == "auto":
+        # one-shot default: symbolic on device (the reference's model —
+        # binning + symbolic + numeric per call); a plan cache or
+        # --planner host selects the reusable routed plan instead
+        planner = "host" if args.plan_cache else "device"
     t0 = time.perf_counter()
-    if args.plan_cache:
+    if planner == "device":
+        plan, hit = spgemm_plan_device(a, a), False
+    elif args.plan_cache:
         from nsparse_tpu.tune.spgemm_cache import spgemm_plan_cached
 
         plan, hit = spgemm_plan_cached(a, a, args.plan_cache)
@@ -194,7 +203,7 @@ def cmd_spgemm(args):
     # the compression funnel the reference prints (spgemm_hash.cu:64)
     print(f"nnz(A): {a.nnz}  intermediate products: {plan.n_products}  "
           f"nnz(C): {plan.c_nnz}")
-    print(f"symbolic (plan): {sym_ms:.1f} ms"
+    print(f"symbolic ({planner} plan): {sym_ms:.1f} ms"
           + ("  [cache hit]" if hit else ""))
 
     f = jax.jit(spgemm_numeric)
@@ -328,6 +337,11 @@ def main(argv=None):
     sg = sub.add_parser("spgemm")
     sg.add_argument("matrix")
     sg.add_argument("--trials", type=int, default=11)
+    sg.add_argument("--planner", default="auto",
+                    choices=("auto", "host", "device"),
+                    help="symbolic phase: device = one-shot on the "
+                         "accelerator (default without a cache); host = "
+                         "routed reusable plan")
     sg.add_argument("--plan-cache", default=None, metavar="DIR",
                     help="directory for serialized SpGEMM plans (symbolic "
                          "phase cached per sparsity fingerprint)")

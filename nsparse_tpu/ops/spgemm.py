@@ -175,16 +175,24 @@ def _expand_sort(a: CSR, b: CSR, p_pad: int):
     m = a.shape[0]
     cap_a = a.capacity
 
+    n = b.shape[1]
     b_deg = b.rpt[1:] - b.rpt[:-1]
     cnt = jnp.where(a.valid_mask(), b_deg[a.col], 0)
     off = jnp.cumsum(cnt)  # inclusive prefix; off[-1] == P
     total = off[cap_a - 1] if cap_a > 0 else jnp.int32(0)
 
     t = jnp.arange(p_pad, dtype=jnp.int32)
-    # Which A-entry does product t come from? First k with off[k] > t.
-    k = jnp.searchsorted(off, t, side="right").astype(jnp.int32)
+    # Which A-entry does product t come from?  searchsorted lowers to
+    # ~log2(P) gather rounds (minutes-scale at 17M on TPU); a scatter of
+    # ones at the nnz_a segment starts + one cumsum does the same job at
+    # memory speed.
+    starts_k = off - cnt  # exclusive prefix per A entry
+    seg_marks = jnp.zeros(p_pad + 1, jnp.int32).at[
+        jnp.minimum(starts_k, p_pad)
+    ].add(jnp.where(jnp.arange(cap_a) > 0, 1, 0))
+    k = jnp.cumsum(seg_marks[:p_pad]).astype(jnp.int32)
     k = jnp.minimum(k, cap_a - 1)
-    start = off[k] - cnt[k]  # exclusive prefix for entry k
+    start = (off - cnt)[k]
     valid = t < total
 
     acol = a.col[k]
@@ -194,9 +202,15 @@ def _expand_sort(a: CSR, b: CSR, p_pad: int):
     row = jnp.where(valid, a_rows[k], m)
     ccol = jnp.where(valid, b.col[bpos], 0)
 
-    row_s, col_s, apos_s, bpos_s = jax.lax.sort(
-        (row, ccol, k, bpos), num_keys=2
+    # one packed (row, col) key halves the sort's operand traffic;
+    # row * n + col < 2^31 is enforced by the caller
+    key = row * jnp.int32(n) + ccol
+    key = jnp.where(valid, key, jnp.int32(2**31 - 1))
+    key_s, apos_s, bpos_s = jax.lax.sort((key, k, bpos), num_keys=1)
+    row_s = jnp.where(
+        key_s == 2**31 - 1, m, key_s // jnp.int32(n)
     )
+    col_s = jnp.where(key_s == 2**31 - 1, 0, key_s % jnp.int32(n))
 
     prev_row = jnp.concatenate([jnp.full((1,), -1, row_s.dtype), row_s[:-1]])
     prev_col = jnp.concatenate([jnp.full((1,), -1, col_s.dtype), col_s[:-1]])
@@ -659,6 +673,11 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
     m, n = a.shape[0], b.shape[1]
 
+    if a.shape[0] * b.shape[1] >= 2**31:
+        raise ValueError(
+            "device planner requires M * N < 2^31 (packed sort key); "
+            "use spgemm_plan for larger shapes"
+        )
     per_row = _intprod_per_row(a, b)
     p_total = int(jnp.sum(per_row))  # sync 1 (sizes the expansion)
     p_pad = _round_up(p_total, LANES)
@@ -682,11 +701,17 @@ def spgemm_plan_device(a: CSR, b: CSR) -> SpgemmPlan:
     c_rpt = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_counts).astype(jnp.int32)]
     )
-    ends = (
-        jnp.searchsorted(
-            out_pos, jnp.arange(c_cap, dtype=out_pos.dtype), side="right"
-        ).astype(jnp.int32)
-        - 1
+    # segment ends: scatter each boundary position to its entry, then
+    # the next entry's start - 1 (searchsorted over 17M keys costs
+    # seconds on TPU; one scatter + slice is memory-speed)
+    tpos = jnp.arange(p_pad, dtype=jnp.int32)
+    starts_e = jnp.zeros(c_cap + 2, jnp.int32).at[
+        jnp.where(flags, jnp.minimum(out_pos_valid, c_cap), c_cap + 1)
+    ].set(tpos, mode="drop")
+    # entries past c_nnz have zero starts; give them end p_total - 1
+    idx_e = jnp.arange(c_cap, dtype=jnp.int32)
+    ends = jnp.where(
+        idx_e < c_nnz - 1, starts_e[idx_e + 1] - 1, p_total - 1
     )
     ends = jnp.clip(ends, 0, p_pad - 1)
 
@@ -921,11 +946,21 @@ def spgemm_numeric_segsum(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
 
 
 def spgemm(a: CSR, b: CSR, plan: SpgemmPlan | None = None,
-           method: str = "esc") -> CSR:
+           method: str = "esc", planner: str = "auto") -> CSR:
     """C = A @ B (the ``spgemm_kernel_hash`` / ``SpGEMM_Hash`` analog).
 
     ``method``: "esc" (general sort/scan path), "bsr" (dense-tile MXU path
     for block-clustered matrices), or "auto" (cost-model dispatch).
+
+    ``planner`` (plan-less calls only): "device" runs the symbolic phase
+    on the accelerator (``spgemm_plan_device``: two size syncs, one
+    ``lax.sort``) so a ONE-SHOT product costs fractions of a second — the
+    reference's model, where binning + symbolic + numeric run per call
+    (``kernel_spgemm_hash_template.cu:1024-1064``); "host" builds the
+    reusable routed plan (seconds of host time, the fastest re-run
+    numeric — the ``SpGEMM_Hash_Numeric`` amortization model); "auto"
+    picks "device" for one-shot ergonomics.  Callers who re-multiply the
+    same structure should build ``spgemm_plan`` once and pass it.
     """
     if method == "auto":
         from nsparse_tpu.ops.spgemm_bsr import choose_spgemm_path
@@ -941,8 +976,13 @@ def spgemm(a: CSR, b: CSR, plan: SpgemmPlan | None = None,
 
         return spgemm_bsr(a, b)
     if plan is None:
-        plan = spgemm_plan(a, b)
-    return spgemm_numeric(plan, a, b)
+        if planner not in ("auto", "device", "host"):
+            raise ValueError(f"unknown planner {planner!r}")
+        if planner in ("auto", "device"):
+            plan = spgemm_plan_device(a, b)
+        else:
+            plan = spgemm_plan(a, b)
+    return jax.jit(spgemm_numeric)(plan, a, b)
 
 
 def spgemm_symbolic_nnz(a: CSR, b: CSR) -> int:
