@@ -30,6 +30,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
+#include <cstdlib>
+#include <algorithm>
 
 #if defined(__AVX512F__)
 #include <immintrin.h>
@@ -265,6 +268,39 @@ void benes_route_one(const int32_t* perm_in, int64_t W, int w_total,
   }
 }
 
+// Run fn(tile_range) over [0, n_tiles) on NSPARSE_THREADS threads
+// (default: hardware concurrency; 1 = inline).  Each worker owns its
+// scratch; mask words of distinct tiles never alias (identity tiles are
+// skipped — their masks are already zero).
+template <typename F>
+static void for_tiles_mt(int64_t n_tiles, F&& fn) {
+  int nt = 1;
+  if (const char* e = std::getenv("NSPARSE_THREADS")) {
+    nt = std::max(1, atoi(e));
+  } else {
+    nt = std::max(1u, std::thread::hardware_concurrency());
+  }
+  nt = (int)std::min<int64_t>(nt, std::max<int64_t>(n_tiles, 1));
+  if (nt <= 1) {
+    fn(int64_t(0), n_tiles);
+    return;
+  }
+  std::vector<std::thread> ws;
+  const int64_t per = (n_tiles + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = t * per, hi = std::min<int64_t>(n_tiles, lo + per);
+    if (lo >= hi) break;
+    ws.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& w : ws) w.join();
+}
+
+static inline bool is_identity_tile(const int32_t* p, int64_t W) {
+  for (int64_t i = 0; i < W; ++i)
+    if (p[i] != (int32_t)i) return false;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -279,11 +315,15 @@ int64_t nsp_benes_route(const int32_t* perms, int64_t W, int64_t n_tiles,
   while ((int64_t(1) << w_total) < W) ++w_total;
   if (2 * w_total - 1 > 31) return -1;
   std::memset(mask32, 0, sizeof(int32_t) * W * n_tiles);
-  BenesScratch scratch;
-  scratch.resize(W);
-  for (int64_t i = 0; i < n_tiles; ++i)
-    benes_route_one(perms + i * W, W, w_total, 0, mask32 + i * W, nullptr, 0,
-                    scratch);
+  for_tiles_mt(n_tiles, [&](int64_t lo, int64_t hi) {
+    BenesScratch scratch;
+    scratch.resize(W);
+    for (int64_t i = lo; i < hi; ++i) {
+      if (is_identity_tile(perms + i * W, W)) continue;
+      benes_route_one(perms + i * W, W, w_total, 0, mask32 + i * W,
+                      nullptr, 0, scratch);
+    }
+  });
   return 0;
 }
 
@@ -301,11 +341,15 @@ int64_t nsp_benes_route_split(const int32_t* perms, int64_t W,
   if ((W * n_tiles) % 16384 != 0) return -2;
   std::memset(mo, 0, sizeof(int32_t) * W * n_tiles);
   std::memset(mt, 0, sizeof(int32_t) * W * n_tiles);
-  BenesScratch scratch;
-  scratch.resize(W);
-  for (int64_t i = 0; i < n_tiles; ++i)
-    benes_route_one(perms + i * W, W, w_total, i * W, mo, mt,
-                    static_cast<int>(split_k), scratch);
+  for_tiles_mt(n_tiles, [&](int64_t lo, int64_t hi) {
+    BenesScratch scratch;
+    scratch.resize(W);
+    for (int64_t i = lo; i < hi; ++i) {
+      if (is_identity_tile(perms + i * W, W)) continue;
+      benes_route_one(perms + i * W, W, w_total, i * W, mo, mt,
+                      static_cast<int>(split_k), scratch);
+    }
+  });
   return 0;
 }
 

@@ -472,7 +472,8 @@ def bank_rows_for(nnz_b8: int) -> int:
 
 
 def piecewise_expand(
-    plan: PiecewisePlan, a_val: jax.Array, b_val: jax.Array
+    plan: PiecewisePlan, a_val: jax.Array, b_val: jax.Array,
+    bank: jax.Array = None,
 ) -> jax.Array:
     """Device: materialize the aem product array (n_pad,) f32.
 
@@ -496,8 +497,12 @@ def piecewise_expand(
     if plan.aligned:
         # 8-aligned table + BANK_K pre-rolled flat copies: every piece
         # becomes one dynamic sublane slice (lane rolls cost ~8 cyc/vreg
-        # on this VPU; sublane slices are free)
-        tbl2 = build_bank(plan.b8_gp, plan.bank_rows, b_val)
+        # on this VPU; sublane slices are free).  ``bank``: a caller-
+        # shared pre-built bank (same b8_gp/bank_rows).
+        tbl2 = (
+            bank if bank is not None
+            else build_bank(plan.b8_gp, plan.bank_rows, b_val)
+        )
         fb_table = flat_gather(plan.b8_gp, b_val)
     else:
         tbl_rows = (

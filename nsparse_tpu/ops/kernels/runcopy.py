@@ -78,7 +78,9 @@ SPAN_LCM = 1920                   # lcm of the span_rows buckets (and 16)
 #   (plan.fb_ids / fb_idx), applied via ``scatter_tiles``.
 CLASS_LIST_FIXED = (
     ("mspan", 1, 160, 8),
+    ("mspan", 8, 16, 8),
     ("mspan", 8, 40, 8),
+    ("mspan", 16, 16, 8),
     ("mspan", 8, 160, 8),
     ("ualign", 2, 8),
     ("ualign", 8, 2),

@@ -211,8 +211,8 @@ def _make_fused_kernel(cfg):
     J2_CAP = cfg.get("j2_cap", 8)
     # debug phase gate
     PHASES = cfg.get("phases", "full")
-    _ORDER = ("f0", "folds", "tiers", "extract", "full")
-    PLIM = _ORDER.index(PHASES)
+    _ORDER = ("expand", "f0", "folds", "tiers", "extract", "full")
+    PLIM = _ORDER.index(PHASES) - 1  # "expand" -> -1
 
     def lvl_base(li):
         return PYR_BIAS + LEVELS[li][2] * NWB
@@ -222,14 +222,18 @@ def _make_fused_kernel(cfg):
     s_total_w = 2 * wv_w - 1
     kk_w = max(wv_w - 7, 0)
 
+    GRP = max(RPW, 2 * LANES)  # outer-stage value granularity
+
     def split_benes_scratch(buf, mo_r, mt_r, store):
         """Width-W split Benes applied through a (ROWS, 128) scratch ref;
-        ``store(w, val)`` receives each window's final rows."""
+        ``store(g, val)`` receives each GRP-row group's final rows.
+        Outer stages process GRP >= RPW rows at a time (windows are
+        GRP-aligned, so XOR partners stay inside the group)."""
         if kk_w:
-            for w in range(NWB):
-                zw = buf[w * RPW : (w + 1) * RPW, :]
-                mw = mo_r[w * RPW : (w + 1) * RPW, :]
-                buf[w * RPW : (w + 1) * RPW, :] = _apply_stages(
+            for g in range(ROWS // GRP):
+                zw = buf[g * GRP : (g + 1) * GRP, :]
+                mw = mo_r[g * GRP : (g + 1) * GRP, :]
+                buf[g * GRP : (g + 1) * GRP, :] = _apply_stages(
                     zw, mw, stages_w[:kk_w]
                 )
         for g in range(ROWS // LANES):
@@ -239,12 +243,12 @@ def _make_fused_kernel(cfg):
                 stages_w[kk_w : s_total_w - kk_w], sub_dist=True,
             )
             buf[g * LANES : (g + 1) * LANES, :] = _trans128(zt)
-        for w in range(NWB):
-            zw = buf[w * RPW : (w + 1) * RPW, :]
+        for g in range(ROWS // GRP):
+            zw = buf[g * GRP : (g + 1) * GRP, :]
             if kk_w:
-                mw = mo_r[w * RPW : (w + 1) * RPW, :]
+                mw = mo_r[g * GRP : (g + 1) * GRP, :]
                 zw = _apply_stages(zw, mw, stages_w[s_total_w - kk_w :])
-            store(w, zw)
+            store(g, zw)
 
     pos = None  # built lazily inside the kernel
 
@@ -291,10 +295,13 @@ def _make_fused_kernel(cfg):
                 return carry
 
             jax.lax.fori_loop(0, SUBS, exp_sub, 0)
+            if PLIM == -1:
+                o_r[:] = e_s[0:ROWS, :]
+                return
             split_benes_scratch(
                 e_s, m1o_r, m1t_r,
-                lambda w, zw: pyr.__setitem__(
-                    (slice(PYR_BIAS + w * RPW, PYR_BIAS + (w + 1) * RPW),
+                lambda g, zw: pyr.__setitem__(
+                    (slice(PYR_BIAS + g * GRP, PYR_BIAS + (g + 1) * GRP),
                      slice(None)), zw
                 ),
             )
@@ -379,8 +386,8 @@ def _make_fused_kernel(cfg):
         # --- 5. entry Benes ------------------------------------------
         split_benes_scratch(
             e_s, emo_r, emt_r,
-            lambda w, zw: o_r.__setitem__(
-                (slice(w * RPW, (w + 1) * RPW), slice(None)), zw
+            lambda g, zw: o_r.__setitem__(
+                (slice(g * GRP, (g + 1) * GRP), slice(None)), zw
             ),
         )
 

@@ -310,6 +310,7 @@ def build_window_structure(
             p8s = p8_row[nf]
             sls = slab_row[nf]
             wns = w_need[nf]
+            nes = np.diff(c_rpt).astype(np.int64)[nf]
             gapb = np.flatnonzero(np.diff(np.concatenate([[-2], nf])) != 1)
             seg_of = np.zeros(nf.size, np.int64)
             seg_of[gapb] = 1
@@ -317,18 +318,28 @@ def build_window_structure(
             nsm = nf.size
             cp8 = np.concatenate([[0], np.cumsum(p8s)])
             csl = np.concatenate([[0], np.cumsum(sls)])
+            # E-capacity pre-margin: the extraction cursor holds n_ent
+            # totals plus <= 127 phase-gap slots per run; reserving
+            # E_MARGIN entry slots up front kills most overflow retries
+            # and binds only on entry-dense (all-level-0) windows
+            E_MARGIN = 512
+            cne = np.concatenate([[0], np.cumsum(nes)])
             run_end = np.concatenate([gapb[1:], [nsm]])
             run_end_of = run_end[seg_of]
             i = 0
             while i < nsm:
                 hi = int(run_end_of[i])
                 first_need = max(
-                    int(p8s[i]), int(sls[i]), WIN_MIN, int(wns[i])
+                    int(p8s[i]), int(sls[i]), WIN_MIN, int(wns[i]),
+                    int(nes[i]) + E_MARGIN,
                 )
                 w_allow = max(W_TARGET, 1 << (first_need - 1).bit_length())
                 j_p8 = np.searchsorted(cp8, cp8[i] + w_allow, side="right") - 1
                 j_sl = np.searchsorted(csl, csl[i] + w_allow, side="right") - 1
-                j = max(i + 1, min(j_p8, j_sl, hi))
+                j_ne = np.searchsorted(
+                    cne, cne[i] + w_allow - E_MARGIN, side="right"
+                ) - 1
+                j = max(i + 1, min(j_p8, j_sl, j_ne, hi))
                 # rows needing a wider tier ladder than this window allows
                 # must start their own window
                 over = np.flatnonzero(wns[i + 1 : j] > w_allow)
@@ -1119,12 +1130,14 @@ def build_window_structure(
         eperm[empty_e] = np.flatnonzero(~used_e)
         elocal = (eperm & np.int64(W - 1)).astype(np.int32)
 
+        _tick(f"fp/tables-W{W}")
         if want_masks:
             if get_lib() is None:
                 raise RuntimeError(
                     "native benes router required for fused window plans"
                 )
             emo, emt = benes_route_split(elocal, W)
+            _tick(f"fp/eroute-W{W}")
             emo = jnp.asarray(emo.reshape(-1, LANES))
             emt = jnp.asarray(emt.reshape(-1, LANES))
             ref_ext = None
@@ -1370,7 +1383,8 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     res = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
     if w.fb_shuffle is not None:
         if prod is None:
-            prod = piecewise_expand(plan.pw, a.val, b.val)
+            bank_arg = bank if w.fused_expand else None
+            prod = piecewise_expand(plan.pw, a.val, b.val, bank=bank_arg)
         fb_in = prod[w.fb_off : w.fb_off + w.fb_len]
         fbs = planned_shuffle(w.fb_shuffle, fb_in)
         fb_res = slab_class_reduce(fbs, w.fb_levels, w.fb_lvl_idx)
