@@ -50,11 +50,31 @@ def _footprint(fmt) -> int:
     return int(sum(l.size * l.dtype.itemsize for l in leaves))
 
 
+# Per-sweep audit trail: one entry per candidate with its fate
+# ("measured" + ms, or the drop stage).  Reset on each autotune_spmv call;
+# bench.py publishes it so a deadline-starved sweep is distinguishable
+# from a measured loss (the r3 irregular number was ambiguous exactly
+# this way).
+SWEEP: list = []
+
+
+def _cand_repr(plan: Plan) -> str:
+    bits = [plan.format]
+    if plan.format == "ell":
+        bits.append(f"w{plan.min_width}x{plan.max_slabs}")
+        if plan.sigma is not None:
+            bits.append(f"s{plan.sigma}")
+        if plan.xshuffle:
+            bits.append("xsh")
+    return "-".join(bits)
+
+
 def _log_drop(plan: Plan, stage: str, why) -> None:
     """A candidate silently vanishing from the search hides real breakage
     (a broken format class looks like 'the tuner chose CSR'); say why."""
     import sys
 
+    SWEEP.append({"cand": _cand_repr(plan), "fate": stage})
     print(
         f"[autotune] dropped candidate {plan.format}"
         f"({plan.knobs_repr() if hasattr(plan, 'knobs_repr') else ''}) "
@@ -149,6 +169,7 @@ def autotune_spmv(
         x = jnp.asarray(np.random.default_rng(0).standard_normal(a.shape[1]),
                         dtype=a.dtype)
     csr_bytes = _footprint(a)
+    SWEEP.clear()
 
     cap = max_bytes_ratio if max_bytes_ratio is not None else (
         128.0 if measure else 8.0
@@ -193,6 +214,10 @@ def autotune_spmv(
                 _log_drop(plan, "measure", e)
                 continue
             plan = dataclasses.replace(plan, measured_ms=ms)
+            SWEEP.append(
+                {"cand": _cand_repr(plan), "fate": "measured",
+                 "ms": round(ms, 4)}
+            )
             score = ms
         else:
             score = float(fb)
