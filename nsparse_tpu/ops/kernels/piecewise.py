@@ -44,13 +44,18 @@ from nsparse_tpu.ops.kernels.gather_pallas import (
     scatter_tiles,
 )
 
+from nsparse_tpu.tune.kernelgen import kernel_config as _kernel_config
+from nsparse_tpu.tune.kernelgen import plan_chip as _plan_chip
+
+_CFG = _kernel_config(_plan_chip())
+
 SUB = 8                      # subtiles per grid step (grid-step amortization)
 SUPER = SUB * TILE           # products per supertile
-J_CLASSES = (2, 4, 8, 16, 32, 64, 128)  # per-subtile piece budgets
+J_CLASSES = _CFG.pw_j_classes           # per-subtile piece budgets
 BIAS = 2048                  # zero rows prepended to the B table (neg offsets)
 SRC_ROWS = 16                # sublane rows per piece slice (1024 + align span)
-BANK_K = 16                  # pre-rolled bank copies (8-aligned mode)
-BANK_ROWS_MAX = 1600         # ~13 MB bank cap (VMEM is ~16 MB/core)
+BANK_K = _CFG.bank_k         # pre-rolled bank copies (8-aligned mode)
+BANK_ROWS_MAX = _CFG.bank_rows_max      # bank cap: 13/16 of kernel VMEM
 
 
 def _interpret() -> bool:

@@ -53,9 +53,17 @@ SRC_BIAS = 8 * TILE               # zero prefix (negative piece bases)
 # per-piece block-pair classes (span_rows == 0) issue 2 small scattered
 # DMAs per piece slot — measured ~17x read amplification at ~1.5 us/step —
 # and remain only for steps whose source span exceeds the big buckets.
+# Span buckets / LCM are chip-derived (tune/kernelgen.py, the reference
+# generator's committed-table analog, spgemm_hash_kernel_gen.c:40-95);
+# the (K, J, SUB) shape columns are VPU vreg-shape constants.
+from nsparse_tpu.tune.kernelgen import kernel_config as _kernel_config
+from nsparse_tpu.tune.kernelgen import plan_chip as _plan_chip
+
+_CFG = _kernel_config(_plan_chip())
+_SPAN_S, _SPAN_B = _CFG.runcopy_spans
 CLASS_LIST = (
-    (1, 8, 8, 80),
-    (1, 8, 8, 384),
+    (1, 8, 8, _SPAN_S),
+    (1, 8, 8, _SPAN_B),
     (1, 2, 8, 0), (1, 8, 2, 0),
     (2, 4, 2, 0),
     (4, 4, 2, 0),
@@ -63,7 +71,7 @@ CLASS_LIST = (
 )
 J_MAX = {1: 8, 2: 4, 4: 4, 8: 4}
 K_FACTORS = (1, 2, 4, 8)
-SPAN_LCM = 1920                   # lcm of the span_rows buckets (and 16)
+SPAN_LCM = _CFG.runcopy_span_lcm  # lcm of the span_rows buckets (and 16)
 
 # fixed-destination mode classes (see ``build_runcopy_plan(dst=...)``):
 #   ("mspan", S, R, J): S independent source STREAMS per supertile, each
@@ -76,16 +84,7 @@ SPAN_LCM = 1920                   # lcm of the span_rows buckets (and 16)
 #     CSR positions), so dst/src phases don't match.
 #   Subtiles denser than every budget fall back to an element gather
 #   (plan.fb_ids / fb_idx), applied via ``scatter_tiles``.
-CLASS_LIST_FIXED = (
-    ("mspan", 1, 160, 8),
-    ("mspan", 8, 16, 8),
-    ("mspan", 8, 40, 8),
-    ("mspan", 16, 16, 8),
-    ("mspan", 8, 160, 8),
-    ("ualign", 2, 8),
-    ("ualign", 8, 2),
-    ("ualign", 16, 1),
-)
+CLASS_LIST_FIXED = _CFG.runcopy_fixed_classes
 
 
 def _interpret() -> bool:

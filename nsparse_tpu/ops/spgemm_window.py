@@ -36,9 +36,14 @@ import numpy as np
 
 from nsparse_tpu.formats.csr import CSR
 
+from nsparse_tpu.tune.kernelgen import kernel_config as _kernel_config
+from nsparse_tpu.tune.kernelgen import plan_chip as _plan_chip
+
+_CFG = _kernel_config(_plan_chip())
+
 LANES = 128
-WIN_MIN = 1024
-N_WIN_CLASSES = 6     # widths WIN_MIN << j, j = 0..5 (max 32768)
+WIN_MIN = _CFG.win_min          # chip-derived (tune/kernelgen.py)
+N_WIN_CLASSES = _CFG.n_win_classes  # widths WIN_MIN << j (v5e: max 32768)
 GAP_CHUNK = 1024      # zero-run chunking bounds in-kernel table reads
 # entry classes: fold level 0..3 (K = 1/2/4/8) + deep (len >= 9)
 CLS_K = (1, 2, 4, 8)

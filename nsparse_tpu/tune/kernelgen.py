@@ -28,14 +28,16 @@ import os
 from typing import Tuple
 
 # Chip parameter table (public specs).  The reference keeps the same kind of
-# table in spgemm_hash_kernel_gen.c:40-44.
+# table in spgemm_hash_kernel_gen.c:40-44.  vmem is the per-core Pallas
+# working set (~16 MB on current TPUs), the budget every kernel geometry
+# below is derived against.
 CHIP_PARAMS = {
     # name: (vmem_bytes, lanes, sublanes, hbm_gbps, vpu_ops_per_cycle, mhz)
-    "v5e": (128 * 2**20, 128, 8, 819, 4 * 8 * 128, 940),
-    "v5p": (128 * 2**20, 128, 8, 2765, 4 * 8 * 128, 1750),
-    "v4": (128 * 2**20, 128, 8, 1228, 4 * 8 * 128, 1050),
-    "v6e": (128 * 2**20, 128, 8, 1600, 4 * 8 * 128, 940),
-    "cpu": (128 * 2**20, 128, 8, 100, 4 * 8 * 128, 2000),
+    "v5e": (16 * 2**20, 128, 8, 819, 4 * 8 * 128, 940),
+    "v5p": (16 * 2**20, 128, 8, 2765, 4 * 8 * 128, 1750),
+    "v4": (16 * 2**20, 128, 8, 1228, 4 * 8 * 128, 1050),
+    "v6e": (16 * 2**20, 128, 8, 1600, 4 * 8 * 128, 940),
+    "cpu": (16 * 2**20, 128, 8, 100, 4 * 8 * 128, 2000),
 }
 
 
@@ -69,6 +71,18 @@ class KernelConfig:
     bsr_us_per_pair: float = 2.5
     bsr_bs: int = 256
     bsr_pairs_per_step: int = 1
+    # --- load-bearing kernel geometry (the reference generator's committed
+    # bin/table/TB analog, spgemm_hash_kernel_gen.c:40-95).  Derivations in
+    # derive(); consumed at import by ops/kernels/{runcopy,piecewise}.py
+    # and ops/spgemm_window.py.
+    win_min: int = 1024            # smallest window-arena width (slots)
+    n_win_classes: int = 6         # widths win_min << j
+    bank_k: int = 16               # pre-rolled B-table copies
+    bank_rows_max: int = 1600      # bank rows cap (VMEM share)
+    pw_j_classes: Tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128)
+    runcopy_spans: Tuple[int, ...] = (80, 384)     # span-class block rows
+    runcopy_span_lcm: int = 1920
+    runcopy_fixed_classes: Tuple[tuple, ...] = ()  # see runcopy.py
 
 
 def derive(chip: str = "v5e") -> KernelConfig:
@@ -118,6 +132,59 @@ def derive(chip: str = "v5e") -> KernelConfig:
     pair_bytes = 2 * bsr_bs * bsr_bs * 4
     bsr_us = pair_bytes / (0.25 * hbm * 1e9) * 1e6
 
+    # --- window-arena ladder (ops/spgemm_window.py) ---------------------
+    # Smallest width = one (sublanes, lanes) vreg worth of slots: the
+    # split-Benes outer stages move whole vregs, so narrower windows waste
+    # lane occupancy.
+    win_min = sublanes * lanes
+    # Widest width: the fused per-class kernel co-residences the B-value
+    # bank (bank cap below, ~13/16 of VMEM) with ~10 W-slot f32/i32
+    # buffers (expansion scratch, fold pyramid ~2W, 4 mask planes, entry
+    # scratch, output), double-buffered by the pipeline: W_MAX =
+    # pow2_floor((vmem - bank_cap) / (10 * 4 B * 2)).
+    bank_k = lanes // sublanes  # one copy per sublane phase of a lane row
+    bank_cap = 13 * vmem // 16
+    bank_rows_max = bank_cap // (bank_k * lanes * 4)
+    bank_rows_max -= bank_rows_max % 160  # span-bucket granularity
+    w_max = 1
+    while w_max * 2 * 10 * 4 * 2 <= vmem - bank_cap:
+        w_max *= 2
+    n_win_classes = max((w_max // win_min).bit_length(), 1)
+
+    # piecewise expansion budgets: pow2 pieces per 1024-slot subtile, up
+    # to one piece per lane column
+    pw_j = []
+    j = 2
+    while j <= lanes:
+        pw_j.append(j)
+        j *= 2
+
+    # run-copy span buckets (rows of the one-DMA-pair source block): a
+    # small bucket ~10 sublane rows (most extraction steps span < 2
+    # windows) and a big one grown from 3 * sublanes while the
+    # double-buffered block pair stays within vmem / 16.
+    span_small = 10 * sublanes
+    span_big = 3 * sublanes
+    while span_big * 2 * lanes * 4 * 2 * 2 <= vmem // 16:
+        span_big *= 2
+    import math
+
+    span_lcm = math.lcm(span_small, span_big, 2 * sublanes)
+
+    # fixed-destination class ladder (runcopy CLASS_LIST_FIXED): stream
+    # counts S x block rows R in measured preference order (tight blocks
+    # first within equal stream counts), filtered by scratch budget
+    # S * R * 2 blocks * lanes * 4 B <= vmem / 12; then the unaligned
+    # per-piece classes as fallbacks.
+    fixed = []
+    for S, R in ((1, 20 * sublanes), (sublanes, 2 * sublanes),
+                 (sublanes, 5 * sublanes), (2 * sublanes, 2 * sublanes),
+                 (sublanes, 20 * sublanes)):
+        if S * R * 2 * lanes * 4 <= vmem // 12:
+            fixed.append(("mspan", S, R, sublanes))
+    fixed += [("ualign", 2, sublanes), ("ualign", sublanes, 2),
+              ("ualign", 2 * sublanes, 1)]
+
     return KernelConfig(
         chip=chip,
         gather_classes=tuple(band_ladder + win_ladder),
@@ -131,7 +198,28 @@ def derive(chip: str = "v5e") -> KernelConfig:
         bsr_us_per_pair=round(bsr_us, 2),
         bsr_bs=bsr_bs,
         bsr_pairs_per_step=1,
+        win_min=win_min,
+        n_win_classes=n_win_classes,
+        bank_k=bank_k,
+        bank_rows_max=int(bank_rows_max),
+        pw_j_classes=tuple(pw_j),
+        runcopy_spans=(span_small, span_big),
+        runcopy_span_lcm=int(span_lcm),
+        runcopy_fixed_classes=tuple(fixed),
     )
+
+
+def plan_chip() -> str:
+    """Chip whose geometry plan builders must use: ``NSPARSE_CHIP``
+    overrides; ``NSPARSE_PLAN_TARGET=tpu`` (host-side build for a TPU
+    consumer, see runcopy._build_for_tpu) targets the default TPU; else
+    the detected device."""
+    env = os.environ.get("NSPARSE_CHIP", "").lower()
+    if env in CHIP_PARAMS:
+        return env
+    if os.environ.get("NSPARSE_PLAN_TARGET", "").lower() == "tpu":
+        return "v5e"
+    return detect_chip()
 
 
 def _gen_path(chip: str) -> str:
