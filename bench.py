@@ -428,6 +428,39 @@ def main():
             f"({STATE['fem_mxu_tflops']} TFLOPS on the MXU) ok={ok_fem}"
         )
 
+    # --- fp64 numeric (the reference's default build is double,
+    # nsparse.h:3-11).  The slab route carries f64 through the movement
+    # kernels as two uint32 bit planes (ops/kernels/planes.py); products
+    # and reductions run in XLA f64. -------------------------------------
+    if over_budget(reserve=100):
+        log("over budget: skipping the fp64 extra")
+        STATE["f64_skipped"] = True
+    else:
+        jax.config.update("jax_enable_x64", True)
+        g64 = rmat_csr(12, edge_factor=8, dtype=np.float64, seed=5)
+        log(f"spgemm-f64: planning M={g64.shape[0]} nnz={g64.nnz}")
+        t_p64 = time.time()
+        plan64 = spgemm_plan(g64, g64)  # layout='global' auto for f64
+        STATE["f64_plan_s"] = round(time.time() - t_p64, 1)
+        ms64, susp64 = measure(
+            _esc_step, jnp.zeros(4, jnp.float64), (plan64, g64, g64)
+        )
+        gf64 = gflops(plan64.flops, ms64)
+        roof64 = spgemm_roofline_gflops(
+            g64.nnz, g64.nnz, plan64.c_nnz, plan64.n_products,
+            val_bytes=8, spec=spec,
+        )
+        record_time("spgemm_f64", ms64, susp64, gf64, roof64)
+        c64 = jax.jit(spgemm_numeric)(plan64, g64, g64)
+        ok64 = check_spgemm_answer_device(
+            c64, spgemm_oracle(g64, g64),
+            abs_ref=spgemm_abs_oracle(g64, g64),
+        )
+        OKS["spgemm_f64"] = bool(ok64)
+        STATE["spgemm_f64_ok"] = bool(ok64)
+        emit(status="f64_done")
+        log(f"spgemm-f64: {ms64:.3f} ms -> {gf64:.2f} GFLOPS ok={ok64}")
+
     emit(status="complete")
     return 0 if all(OKS.values()) else 1
 

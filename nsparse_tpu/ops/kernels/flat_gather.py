@@ -209,8 +209,19 @@ def flat_gather(
 ) -> jax.Array:
     """out[i] = src[idx[i]] (optionally * other[i]); returns flat (n,)."""
     t = plan.idx2d.shape[0]
-    use_pallas = FORCE_PALLAS or (
-        jax.default_backend() == "tpu" and src.dtype == jnp.float32
+    on_tpu = FORCE_PALLAS or jax.default_backend() == "tpu"
+    if src.dtype == jnp.float64 and on_tpu:
+        # pure movement: ride the f32-width kernels as two uint32 bit
+        # planes (ops/kernels/planes.py); the optional multiply happens
+        # in XLA f64 afterwards
+        from nsparse_tpu.ops.kernels import planes
+
+        out = planes.moved(lambda p: flat_gather(plan, p), src)
+        if other is not None:
+            out = out * other[: plan.n].astype(out.dtype)
+        return out
+    use_pallas = on_tpu and src.dtype in (
+        jnp.float32, jnp.int32, jnp.uint32
     )
     if not use_pallas:
         # off-TPU, or f64 (pallas custom calls cannot carry f64 on TPU);

@@ -365,6 +365,16 @@ def scatter_tiles(
     n = int(tile_ids.shape[0])
     if n == 0:
         return dst
+    if dst.dtype == jnp.float64:
+        # tile-granular movement: two uint32 planes (see planes.py)
+        from nsparse_tpu.ops.kernels import planes
+
+        dlo, dhi = planes.split(dst)
+        vlo, vhi = planes.split(vals.reshape(-1, LANES))
+        return planes.combine(
+            scatter_tiles(dlo, tile_ids, vlo, tile_rows),
+            scatter_tiles(dhi, tile_ids, vhi, tile_rows),
+        )
 
     def kern(ids_r, vals_r, dst_in_r, dst_out_r):
         del ids_r, dst_in_r

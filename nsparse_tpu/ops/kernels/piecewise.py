@@ -323,7 +323,14 @@ def build_piecewise_plan(
     )
 
 
-def _make_pw_kern(j_budget: int, sub: int, aligned: bool):
+def _make_pw_kern(j_budget: int, sub: int, aligned: bool,
+                  mode: str = "mul"):
+    """``mode``: "mul" (B piece times per-piece A scalar — the f32 hot
+    path), "copy" (B piece verbatim) or "fill" (per-piece A scalar
+    broadcast).  copy/fill are pure movement: the f64 planes route
+    (ops/kernels/planes.py) expands each uint32 plane separately and
+    multiplies in XLA f64."""
+
     def kern(ids_r, cuts_r, boffs_r, apv_r, tbl_r, alias_r, out_r):
         del ids_r, alias_r
         pos = (
@@ -333,11 +340,15 @@ def _make_pw_kern(j_budget: int, sub: int, aligned: bool):
             + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
         )
         for k in range(sub):
-            acc = jnp.zeros((TILE_ROWS, LANES), tbl_r.dtype)
+            dt = apv_r.dtype if mode == "fill" else tbl_r.dtype
+            acc = jnp.zeros((TILE_ROWS, LANES), dt)
             for j in range(j_budget):
                 cut = cuts_r[k, j]
                 boff = boffs_r[k, j]
                 av = apv_r[k, j]
+                if mode == "fill":
+                    acc = jnp.where(pos >= cut, av, acc)
+                    continue
                 if aligned:
                     # boff is a bank-row code: a pure dynamic sublane
                     # slice of the pre-rolled bank IS the aligned piece
@@ -346,14 +357,16 @@ def _make_pw_kern(j_budget: int, sub: int, aligned: bool):
                     row0 = boff // LANES
                     blk = tbl_r[pl.ds(row0, SRC_ROWS), :]
                     seg = _flat_align(blk, boff % LANES)[:TILE_ROWS]
-                acc = jnp.where(pos >= cut, seg * av, acc)
+                acc = jnp.where(
+                    pos >= cut, seg if mode == "copy" else seg * av, acc
+                )
             out_r[pl.ds(k * TILE_ROWS, TILE_ROWS), :] = acc
 
     return kern
 
 
 def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned,
-                   g_base):
+                   g_base, mode: str = "mul"):
     """One class's expansion into its compact-buffer range.
 
     ``ids`` is (n_groups * SUB,) subtile-granular; the output blocks are
@@ -397,7 +410,7 @@ def _pw_class_call(j_budget, ids, cuts, boffs, apv, tbl2, out, aligned,
         ],
         out_specs=big_tile(),
     )
-    kern = _make_pw_kern(j_budget, sub, aligned)
+    kern = _make_pw_kern(j_budget, sub, aligned, mode)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -487,12 +500,13 @@ def piecewise_expand(
     """
     from nsparse_tpu.ops.kernels import flat_gather as _fg
 
-    use_pallas = _fg.FORCE_PALLAS or (
-        jax.default_backend() == "tpu" and b_val.dtype == jnp.float32
-    )
+    on_tpu = _fg.FORCE_PALLAS or jax.default_backend() == "tpu"
+    use_pallas = on_tpu and b_val.dtype == jnp.float32
     a_pad = jnp.concatenate(
         [a_val, jnp.zeros(1, a_val.dtype)]
     )
+    if b_val.dtype == jnp.float64 and on_tpu:
+        return _piecewise_expand_f64(plan, a_pad, b_val)
     if not use_pallas:
         return _piecewise_reference(plan, a_pad, b_val)
 
@@ -548,6 +562,92 @@ def piecewise_expand(
         fb_vals = (fb_b * a_pad[plan.fb_aidx]).astype(dt).reshape(
             -1, LANES
         )
+        arena = scatter_tiles(
+            arena, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS
+        )
+    return arena.reshape(-1)
+
+
+def _pw_expand_plane(plan: PiecewisePlan, src_plane: jax.Array,
+                     mode: str) -> jax.Array:
+    """One uint32 bit plane through the class kernels.
+
+    ``mode`` "copy" expands B-table pieces verbatim; "fill" broadcasts
+    the per-piece A scalar over each piece extent.  Both are pure
+    movement (see ``_make_pw_kern``), so the same piece tables expand
+    an f64 stream as two 32-bit planes.  Returns the class-major
+    (rows, 128) arena-ordered plane."""
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+    from nsparse_tpu.ops.kernels.gather_pallas import gather_tiles8
+
+    dt = jnp.uint32
+    apv_cat = None
+    if mode == "copy":
+        if plan.aligned:
+            tbl2 = build_bank(plan.b8_gp, plan.bank_rows, src_plane)
+        else:
+            tbl_rows = (
+                _round_up(plan.nnz_b + TILE + SRC_ROWS * LANES, LANES)
+                // LANES
+            )
+            tbl2 = jnp.zeros((BIAS // LANES + tbl_rows, LANES), dt)
+            tbl2 = jax.lax.dynamic_update_slice(
+                tbl2.reshape(-1), src_plane, (BIAS,)
+            ).reshape(-1, LANES)
+    else:  # fill: the kernel never reads the table
+        tbl2 = jnp.zeros((TILE_ROWS, LANES), dt)
+        apv_cat = flat_gather(plan.apv_gp, src_plane)
+    n_ct = sum(int(i.shape[0]) for i in plan.ids) + 1
+    out = jnp.zeros((n_ct * TILE_ROWS, LANES), dt)
+    g_base = 0
+    for j_budget, ids, cuts, boffs, (lo, hi) in zip(
+        J_CLASSES, plan.ids, plan.cuts, plan.boffs, plan.apv_splits
+    ):
+        if not int(ids.shape[0]):
+            continue
+        apv = (
+            apv_cat[lo:hi] if mode == "fill"
+            else jnp.zeros(hi - lo, dt)
+        )
+        out = _pw_class_call(
+            j_budget, ids, cuts, boffs, apv, tbl2, out, plan.aligned,
+            g_base, mode,
+        )
+        g_base += int(ids.shape[0]) // SUB
+    return gather_tiles8(
+        out, plan.arena_src, plan.n_pad // TILE, tile_rows=TILE_ROWS
+    )
+
+
+def _piecewise_expand_f64(
+    plan: PiecewisePlan, a_pad: jax.Array, b_val: jax.Array
+) -> jax.Array:
+    """f64 expansion: per-plane pure-movement expansions of the A and B
+    streams (same piece tables), one XLA f64 multiply, fallback pieces
+    in XLA f64.  The f64 analog of the reference's double-compiled
+    expansion kernels (``cuda-c/inc/nsparse.h:3-11``)."""
+    from nsparse_tpu.ops.kernels import planes
+    from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+    b_lo, b_hi = planes.split(b_val)
+    a_lo, a_hi = planes.split(a_pad)
+    b_exp = planes.combine(
+        _pw_expand_plane(plan, b_lo, "copy"),
+        _pw_expand_plane(plan, b_hi, "copy"),
+    )
+    a_exp = planes.combine(
+        _pw_expand_plane(plan, a_lo, "fill"),
+        _pw_expand_plane(plan, a_hi, "fill"),
+    )
+    arena = a_exp * b_exp
+    if int(plan.fb_ids.shape[0]):
+        fb_table = (
+            flat_gather(plan.b8_gp, b_val) if plan.aligned else b_val
+        )
+        fb_b = jnp.where(
+            plan.fb_bidx >= 0, fb_table[jnp.clip(plan.fb_bidx, 0)], 0
+        )
+        fb_vals = (fb_b * a_pad[plan.fb_aidx]).reshape(-1, LANES)
         arena = scatter_tiles(
             arena, plan.fb_ids, fb_vals, tile_rows=TILE_ROWS
         )

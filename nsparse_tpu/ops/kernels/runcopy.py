@@ -1046,6 +1046,18 @@ def runcopy(plan: RunCopyPlan, src: jax.Array) -> jax.Array:
         return jnp.where(idx >= 0, src[: plan.n_src][safe], 0).astype(
             src.dtype
         )
+    if src.dtype == jnp.float64:
+        # fixed-destination classes (mspan/ualign) are pure movement, so
+        # f64 rides as two uint32 planes; variable-mode K>1 classes SUM
+        # sub-runs (arithmetic) and cannot
+        if plan.classes is None:
+            raise NotImplementedError(
+                "f64 runcopy requires a fixed-destination plan "
+                "(variable-mode classes reduce, not move)"
+            )
+        from nsparse_tpu.ops.kernels import planes
+
+        return planes.moved(lambda p: runcopy(plan, p), src)
     pad_len = _pad_len(plan.n_src)
     src_p = jnp.zeros(pad_len, src.dtype)
     src_p = jax.lax.dynamic_update_slice(

@@ -387,6 +387,11 @@ def tile_benes_apply(plan: TileBenesPlan, x: jax.Array) -> jax.Array:
     """Apply the batched per-tile permutation to ``x`` (flat, >= plan.n)."""
     if plan.idx is not None:
         return x[plan.idx]
+    if x.dtype == jnp.float64:
+        # pure permutation: two uint32 bit planes (ops/kernels/planes.py)
+        from nsparse_tpu.ops.kernels import planes
+
+        return planes.moved(lambda p: tile_benes_apply(plan, p), x)
     x2 = x[: plan.n].reshape(-1, LANES)
     return _benes_pass_split(x2, plan.mo, plan.mt, plan.w).reshape(-1)
 
@@ -398,6 +403,11 @@ def planned_shuffle(plan: ShufflePlan, x: jax.Array) -> jax.Array:
     tail onto itself)."""
     if plan.idx is not None:
         return x[plan.idx][: plan.n]
+    if x.dtype == jnp.float64:
+        # pure permutation + zero fill: ride as two uint32 planes
+        from nsparse_tpu.ops.kernels import planes
+
+        return planes.moved(lambda p: planned_shuffle(plan, p), x)
     r, cu, cs = plan.r, plan.cu, plan.cs
     n_pad = r * cu
     if int(x.shape[0]) < n_pad:

@@ -418,6 +418,8 @@ def spgemm_plan(
     b: CSR,
     shuffle: bool | None = None,
     layout: str | None = None,
+    dist: bool = False,
+    extras_out: dict | None = None,
 ) -> SpgemmPlan:
     """Symbolic phase: build the reusable plan on the host.
 
@@ -498,6 +500,12 @@ def spgemm_plan(
     slab = None
     pw_plan = None
     win = None
+    if (layout is None and jax.default_backend() == "tpu"
+            and a.val.dtype == jnp.float64):
+        # f64 route: the global slab pipeline separates movement (planes-
+        # capable Pallas shuffles) from arithmetic (XLA f64 adds); the
+        # fused window kernels fold in-kernel and are f32-only
+        layout = "global"
     if shuffle is None:
         shuffle = p_total >= (1 << 20)
     if shuffle and p_total and c_nnz and layout in (None, "window"):
@@ -508,6 +516,7 @@ def spgemm_plan(
             apos, bpos, out_pos, ends, c_rpt,
             p_total, c_nnz, c_cap, m, nnz_a,
             force=(layout == "window"),
+            dist=dist, extras_out=extras_out,
         )
         _tick("window-structure")
         if wres is not None:
@@ -858,13 +867,22 @@ def spgemm_numeric(plan: SpgemmPlan, a: CSR, b: CSR) -> CSR:
     """
     from nsparse_tpu.ops.kernels import flat_gather as _fg
 
-    hot = _fg.FORCE_PALLAS or (
-        jax.default_backend() == "tpu" and b.val.dtype == jnp.float32
-    )
+    on_tpu = _fg.FORCE_PALLAS or jax.default_backend() == "tpu"
+    # f64 rides the movement kernels as two uint32 bit planes
+    # (ops/kernels/planes.py); arithmetic stays in XLA f64.  Only the
+    # fused window kernels (in-kernel folds) are f32-only.
+    hot = on_tpu and b.val.dtype in (jnp.float32, jnp.float64)
     if plan.win is not None:
         # window plans carry no product-granular arrays (see spgemm_plan),
         # so the window kernels are the only numeric path for them —
         # interpret-mode Pallas off-TPU
+        if (jax.default_backend() == "tpu"
+                and b.val.dtype == jnp.float64):
+            raise NotImplementedError(
+                "the fused window kernels fold in-kernel and cannot "
+                "carry f64 on TPU; build the plan with layout='global' "
+                "(spgemm_plan does this automatically for f64 inputs)"
+            )
         from nsparse_tpu.ops.spgemm_window import spgemm_numeric_window
 
         return spgemm_numeric_window(plan, a, b)

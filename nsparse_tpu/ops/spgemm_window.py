@@ -182,6 +182,10 @@ class WindowStructure:
     fb_perm: object
     b8_gp: object = None       # fused-expansion bank gather plan
     apv_gp: object = None      # per-piece A-value gather plan
+    # dist mode: (apos, bpos, flags, ends, place) — fallback products in
+    # entry order for the segmented-scan side channel (see the ``dist``
+    # docstring on build_window_structure); None otherwise
+    fb_scan: object = None
     class_geom: Tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
@@ -226,9 +230,20 @@ def build_window_structure(
     m: int,
     nnz_a: int,
     force: bool = False,
+    dist: bool = False,
+    extras_out: dict | None = None,
 ):
     """Host-side: build the fused window structure + its piecewise
-    expansion.  Returns ``(WindowStructure, PiecewisePlan)`` or None."""
+    expansion.  Returns ``(WindowStructure, PiecewisePlan)`` or None.
+
+    ``dist``: build for the SPMD stacked-plan path
+    (``parallel/spgemm_window.py``): fold levels and tier ladders are
+    forced to their width-maximal (data-independent) shapes so per-shard
+    plans share static geometry, and the fallback pool becomes a
+    segmented-scan side channel instead of the global slack-Clos plans
+    (whose routed mask shapes cannot be padded across shards).
+    ``extras_out``: when given, receives the raw merge runs and per-class
+    tables the stacker needs to re-pad plans to common shapes."""
     from nsparse_tpu.ops.kernels.piecewise import build_piecewise_plan
     from nsparse_tpu.ops.kernels.runcopy import (
         _build_for_tpu,
@@ -267,7 +282,12 @@ def build_window_structure(
     out_pos = np.asarray(out_pos, dtype=np.int32)
     ends = np.asarray(ends[:c_nnz], dtype=np.int32)
 
-    want_masks = _build_for_tpu() or jax.default_backend() == "tpu"
+    # dist plans always carry the routed masks: off-TPU the kernels run
+    # in interpret mode, so one plan form serves the virtual-mesh dryrun
+    # and the real chip (the reference-index form is not stackable)
+    want_masks = (
+        _build_for_tpu() or jax.default_backend() == "tpu" or dist
+    )
 
     # --- per-entry / per-row stats ------------------------------------
     starts = np.concatenate([np.zeros(1, np.int32), ends[:-1] + 1])
@@ -477,6 +497,8 @@ def build_window_structure(
                 lv = 2
             if np.any((c3w[wins_j] > 0) | (uw[wins_j] > 0)):
                 lv = 3
+            if dist:
+                lv = 3  # data-independent PYR layout across shards
             lvl_need[j] = lv
             class_geom.append((class_base[j], class_slots[j], W, lv))
 
@@ -545,7 +567,15 @@ def build_window_structure(
             v_in = W >> 3
             tier = 2
             lvl_next = lv + 1
-            while items.size:
+            # width-maximal ladder: V_t = W >> (2t - 2), supported while
+            # V >= 256 (dist forces it so the PYR layout is shard-
+            # independent; see the ``dist`` docstring)
+            n_full_tiers = 0
+            vv = W >> 2
+            while vv >= 256:
+                n_full_tiers += 1
+                vv >>= 2
+            while items.size or (dist and len(meta_j) < n_full_tiers):
                 if tier > MAX_TIERS:
                     raise AssertionError("tier recursion failed to terminate")
                 V = 2 * v_in
@@ -593,7 +623,7 @@ def build_window_structure(
                 cumn = np.concatenate(
                     [np.zeros(1, np.int32),
                      np.cumsum(nper, dtype=np.int32)[:-1]]
-                )
+                )[: items.size]  # items may be empty (dist forced tiers)
                 s = np.arange(int(nper.sum()), dtype=np.int32) - np.repeat(
                     cumn, nper
                 )
@@ -609,7 +639,7 @@ def build_window_structure(
                 cumt = np.concatenate(
                     [np.zeros(1, np.int32),
                      np.cumsum(tail, dtype=np.int32)[:-1]]
-                )
+                )[: items.size]
                 st2 = u[ti] + (
                     np.arange(int(tail.sum()), dtype=np.int32)
                     - np.repeat(cumt, tail)
@@ -1218,7 +1248,46 @@ def build_window_structure(
     fb_lvl_idx = ()
     res_off_fb = 0
     slab_fb = None
-    if fb_entry_ids.size:
+    fb_scan = None
+    fb_drow = fb_rcnt = fb_rows_seg = None
+    fb_seg = 0
+    if dist and fb_entry_ids.size:
+        # scan side channel (``dist`` docstring): fallback products in
+        # entry order + a plan-known placement into the phase-matched fb
+        # merge segment — shard-uniform shapes, no routed shuffle plans
+        l_fb = lens[fb_entry_ids].astype(np.int64)
+        pr = np.repeat(fb_entry_ids.astype(np.int64), l_fb)
+        cum = np.concatenate([[0], np.cumsum(l_fb)[:-1]])
+        kin = np.arange(pr.size, dtype=np.int64) - np.repeat(cum, l_fb)
+        ii = starts[pr].astype(np.int64) + kin
+        flags = np.zeros(pr.size, bool)
+        flags[cum] = True
+        rows_fb = row_of_entry[fb_entry_ids]
+        rfirst = np.flatnonzero(
+            np.diff(np.concatenate([[-1], rows_fb])) != 0
+        )
+        rcnt = np.diff(np.concatenate([rfirst, [rows_fb.size]]))
+        c0r = c_rpt[rows_fb[rfirst]].astype(np.int64)
+        gapf = np.empty(rfirst.size, np.int64)
+        gapf[0] = c0r[0] % LANES
+        gapf[1:] = (c0r[1:] - c0r[:-1] - rcnt[:-1]) % LANES
+        csf = np.cumsum(gapf + rcnt)
+        fb_drow = csf - rcnt
+        fb_seg = _round_up(int(csf[-1]), LANES)
+        pos_in_seg = np.repeat(fb_drow, rcnt) + (
+            np.arange(rows_fb.size, dtype=np.int64)
+            - np.repeat(rfirst, rcnt)
+        )
+        place = np.full(fb_seg, -1, np.int64)
+        place[pos_in_seg] = np.arange(rows_fb.size, dtype=np.int64)
+        fb_scan = tuple(jnp.asarray(x) for x in (
+            apos[ii].astype(np.int32), bpos[ii].astype(np.int32),
+            flags, (cum + l_fb - 1).astype(np.int32),
+            place.astype(np.int32),
+        ))
+        fb_rcnt = rcnt
+        fb_rows_seg = rows_fb[rfirst]
+    elif fb_entry_ids.size:
         ends_fb = np.cumsum(lens[fb_entry_ids]) - 1
         p_total_fb = int(lens[fb_entry_ids].sum())
         src_fb_prod = (exp_p[~sel] - fb_base).astype(np.int64)
@@ -1245,8 +1314,6 @@ def build_window_structure(
 
     # --- fallback segment: entry-sorted, phase-matched per fb row -------
     fb_perm = None
-    fb_seg = 0
-    fb_drow = fb_rcnt = fb_rows_seg = None
     if slab_fb is not None:
         fb_ent = np.asarray(slab_fb["asm_entry"], np.int64)
         fb_pos = np.asarray(slab_fb["asm_pos"], np.int64)
@@ -1312,6 +1379,18 @@ def build_window_structure(
         dst=mrg_dst, n_out=_round_up(c_cap, 1024),
     )
     _tick("asm/merge")
+    if extras_out is not None:
+        # raw tables for the SPMD stacker (parallel/spgemm_window.py):
+        # merge runs in shard-local arena coordinates + the per-class
+        # bases the stacker rebases against after step padding
+        extras_out.update(
+            mrg_src=mrg_src, mrg_dst=mrg_dst, mrg_len=mrg_len,
+            class_bases=[int(b) for b, _, _, _ in class_geom],
+            class_widths=[int(W) for _, _, W, _ in class_geom],
+            arena_len=int(arena_len), fb_seg=int(fb_seg),
+            c_cap=int(c_cap),
+            eaidx_cls=[np.asarray(e) for e in eaidx_all],
+        )
 
     b8_gp_top = None
     apv_gp_top = None
@@ -1328,6 +1407,8 @@ def build_window_structure(
         b8_gp_top = build_flat_gather_plan(
             np.asarray(b8_idx, dtype=np.int32)
         )
+        if extras_out is not None:
+            extras_out["b8_idx"] = np.asarray(b8_idx, dtype=np.int32)
         _tick("apv-gp")
     win = WindowStructure(
         benes=tuple(benes),
@@ -1338,6 +1419,7 @@ def build_window_structure(
         fb_perm=fb_perm,
         b8_gp=b8_gp_top,
         apv_gp=apv_gp_top,
+        fb_scan=fb_scan,
         class_geom=tuple(class_geom),
         tier_geom=tuple(tier_geoms),
         fb_levels=fb_levels,
@@ -1386,7 +1468,24 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
             x = tile_benes_apply(bp, prod[base : base + slots])
             segs.append(fused_class_apply(fp, x))
     res = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
-    if w.fb_shuffle is not None:
+    if w.fb_scan is not None:
+        # dist-mode fallback side channel: gathers + segmented scan are
+        # shard-uniform XLA (f64-capable); placement is plan-known
+        from nsparse_tpu.ops.spgemm import _segmented_inclusive_scan
+
+        fb_apos, fb_bpos, fb_flags, fb_ends, fb_place = w.fb_scan
+        prod_fb = a.val[fb_apos] * b.val[fb_bpos]
+        ss = _segmented_inclusive_scan(prod_fb, fb_flags)
+        totals = ss[fb_ends]
+        fb_res = jnp.where(
+            fb_place >= 0, totals[jnp.clip(fb_place, 0)], 0
+        ).astype(res.dtype)
+        fb_seg = int(w.merge.n_src) - w.n_compact
+        fb_res = jnp.pad(
+            fb_res, (0, max(fb_seg - int(fb_res.shape[0]), 0))
+        )
+        res = jnp.concatenate([res, fb_res])
+    elif w.fb_shuffle is not None:
         if prod is None:
             bank_arg = bank if w.fused_expand else None
             prod = piecewise_expand(plan.pw, a.val, b.val, bank=bank_arg)
