@@ -39,6 +39,11 @@ import signal
 import sys
 import time
 
+# jax 0.9 Mosaic lowering recurses deeply (finite) through its
+# convert-element-type fallback on this backend's forward-compat gates;
+# the default 1000 frames abort otherwise-valid kernels.
+sys.setrecursionlimit(50000)
+
 T0 = time.time()  # process start: the deadline includes the handshake
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1000"))
 

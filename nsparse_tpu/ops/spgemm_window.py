@@ -50,6 +50,10 @@ CLS_K = (1, 2, 4, 8)
 DEEP = 4                        # class code for len >= 9 (units -> tiers)
 MAX_TIERS = 8                   # radix-8 recursion bound
 BLK_MIN = 65536                 # fused-kernel slots per grid step
+# in-kernel expansion needs the pre-rolled bank VMEM-resident next to
+# the fused kernel's scratch; above this budget the plan falls back to
+# the standalone piecewise expansion + explicit tier-1 Benes (v1)
+FUSED_BANK_BUDGET = 11 * 2**20
 # entry lengths coverable per width (tier arenas V = W/4^(t-1) >= 256)
 #   W in {1024, 2048} -> len <= 64; {4096, 8192} -> 512;
 #   {16384, 32768} -> 4096; longer entries -> fallback rows.
@@ -181,7 +185,16 @@ class WindowStructure:
     fb_lvl_idx: Tuple
     fb_perm: object
     b8_gp: object = None       # fused-expansion bank gather plan
-    apv_gp: object = None      # per-piece A-value gather plan
+    apv_gp: object = None      # per-piece A-value gather plan (dist mode)
+    # single-chip apv delivery: the per-piece A ids are contiguous RUNS
+    # (one per A entry, destination-ordered), so a routed shuffle places
+    # each a.val at its run's first piece slot and a log-pass forward
+    # fill broadcasts it down the run.  The flat-gather route classed
+    # 93% of piece tiles to XLA's elementwise gather (~1.4 ms on
+    # R-MAT-14); this is ~0.1 ms.  apv_fill bit k = bit k of the
+    # in-run offset; bit 30 = real (non-sentinel) piece.
+    apv_shuffle: object = None
+    apv_fill: object = None
     # dist mode: (apos, bpos, flags, ends, place) — fallback products in
     # entry order for the segmented-scan side channel (see the ``dist``
     # docstring on build_window_structure); None otherwise
@@ -206,11 +219,69 @@ class WindowStructure:
     bank_rows: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    apv_k: int = dataclasses.field(default=0, metadata=dict(static=True))
+    apv_len: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def tiers(self):
         """Back-compat alias: per-class tier descriptors."""
         return self.tier_geom
+
+
+def _build_apv_plan(eaidx_cat: np.ndarray, nnz_a: int):
+    """Route the per-piece A values as shuffle + forward fill.
+
+    Each A entry's pieces are CONTIGUOUS in the class-major piece order
+    (an A entry belongs to one window; its expansion run walks
+    consecutive destination subtiles), so the per-piece A-value gather
+    factors into (a) a routed permutation placing ``a.val[aid]`` at the
+    run's first piece slot and (b) a static log-pass forward fill.
+    Sentinel pieces (gap runs, table padding) carry ``aid`` outside
+    [0, nnz_a) and are zeroed by the real-flag bit.
+
+    Returns (ShufflePlan, fill bits (P,) int32, n fill passes); the fill
+    word's bit k is bit k of the in-run offset, bit 30 the real flag.
+    """
+    from nsparse_tpu.ops.kernels.shuffle_pallas import build_shuffle_plan
+
+    p_n = int(eaidx_cat.size)
+    aid = eaidx_cat.astype(np.int64)
+    real = (aid >= 0) & (aid < nnz_a)
+    prev = np.concatenate([[-2], aid[:-1]])
+    isfirst = real & (aid != prev)
+    firsts = np.flatnonzero(isfirst)
+    n_univ = max(p_n, nnz_a)
+    src = np.full(n_univ, -1, np.int64)
+    src[firsts] = aid[firsts]
+    used = np.zeros(n_univ, bool)
+    used[aid[firsts]] = True
+    empty = np.flatnonzero(src == -1)
+    src[empty] = np.flatnonzero(~used)[: empty.size]
+    shuf = build_shuffle_plan(src.astype(np.int32))
+    # in-run offset per piece slot (sentinel slots clipped; masked off)
+    last_first = np.maximum.accumulate(
+        np.where(isfirst, np.arange(p_n, dtype=np.int64), -1)
+    )
+    off = np.arange(p_n, dtype=np.int64) - np.maximum(last_first, 0)
+    k = int(off[real].max(initial=0)).bit_length()
+    bits = (np.clip(off, 0, (1 << max(k, 1)) - 1)).astype(np.int32)
+    bits |= real.astype(np.int32) << 30
+    return shuf, jnp.asarray(bits), k
+
+
+def apv_values(w: "WindowStructure", a_val: jax.Array) -> jax.Array:
+    """Runtime per-piece A values for the fused-expansion kernel."""
+    from nsparse_tpu.ops.kernels.shuffle_pallas import planned_shuffle
+
+    pad = max(int(w.apv_shuffle.n) - int(a_val.shape[0]), 0)
+    v = planned_shuffle(w.apv_shuffle, jnp.pad(a_val, (0, pad)))
+    v = v[: w.apv_len]
+    bits = w.apv_fill
+    for k in range(w.apv_k):
+        v = jnp.where((bits >> k) & 1 == 1, jnp.roll(v, 1 << k), v)
+    return jnp.where((bits >> 30) & 1 == 1, v, 0).astype(a_val.dtype)
 
 
 def build_window_structure(
@@ -901,7 +972,9 @@ def build_window_structure(
     bank_rows = bank_rows_for(b8_len)
     # in-kernel expansion needs the pre-rolled bank resident next to the
     # fused kernel's scratch: cap it below the standalone path's budget
-    fused_expand = want_masks and bank_rows * 16 * 512 <= 11 * 2**20
+    fused_expand = (
+        want_masks and bank_rows * 16 * 512 <= FUSED_BANK_BUDGET
+    )
     if fused_expand:
         fsel = rs_s >= fb_base
         if fsel.any():
@@ -1394,6 +1467,9 @@ def build_window_structure(
 
     b8_gp_top = None
     apv_gp_top = None
+    apv_shuffle = apv_fill = None
+    apv_k = 0
+    apv_len = 0
     if fused_expand:
         from nsparse_tpu.ops.kernels.flat_gather import (
             build_flat_gather_plan,
@@ -1403,7 +1479,8 @@ def build_window_structure(
             np.concatenate(eaidx_all) if eaidx_all
             else np.zeros(0, np.int32)
         )
-        apv_gp_top = build_flat_gather_plan(eaidx_cat)
+        apv_shuffle, apv_fill, apv_k = _build_apv_plan(eaidx_cat, nnz_a)
+        apv_len = int(eaidx_cat.size)
         b8_gp_top = build_flat_gather_plan(
             np.asarray(b8_idx, dtype=np.int32)
         )
@@ -1419,6 +1496,10 @@ def build_window_structure(
         fb_perm=fb_perm,
         b8_gp=b8_gp_top,
         apv_gp=apv_gp_top,
+        apv_shuffle=apv_shuffle,
+        apv_fill=apv_fill,
+        apv_k=int(apv_k),
+        apv_len=int(apv_len),
         fb_scan=fb_scan,
         class_geom=tuple(class_geom),
         tier_geom=tuple(tier_geoms),
@@ -1449,12 +1530,16 @@ def spgemm_numeric_window(plan, a: CSR, b: CSR) -> CSR:
     w: WindowStructure = plan.win
     segs = []
     if w.fused_expand:
-        from nsparse_tpu.ops.kernels.flat_gather import flat_gather
         from nsparse_tpu.ops.kernels.piecewise import build_bank
 
         bank = build_bank(w.b8_gp, w.bank_rows, b.val)
-        a_pad = jnp.concatenate([a.val, jnp.zeros(1, a.val.dtype)])
-        apv_cat = flat_gather(w.apv_gp, a_pad)
+        if w.apv_shuffle is not None:
+            apv_cat = apv_values(w, a.val)
+        else:  # dist-stacked plans keep the flat-gather route
+            from nsparse_tpu.ops.kernels.flat_gather import flat_gather
+
+            a_pad = jnp.concatenate([a.val, jnp.zeros(1, a.val.dtype)])
+            apv_cat = flat_gather(w.apv_gp, a_pad)
         for fp in w.fused:
             segs.append(fused_class_apply(
                 fp, bank=bank, apv=apv_cat[fp.apv_lo : fp.apv_hi]

@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 8  # v8: in-kernel expansion + tier-1 Benes (fused_expand)
+PLAN_VERSION = 9  # v9: apv shuffle+fill delivery (was flat-gather)
 
 
 def _registry():

@@ -5,6 +5,9 @@ module import time (pytest imports conftest first).
 """
 
 import os
+import sys
+
+sys.setrecursionlimit(50000)  # jax 0.9 Mosaic lowering recursion depth
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")

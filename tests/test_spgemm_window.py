@@ -163,3 +163,76 @@ def test_window_plan_f32_jit():
         c, spgemm_oracle(a, a), verbose=True,
         abs_ref=spgemm_abs_oracle(a, a),
     )
+
+
+@pytest.mark.parametrize("expand", [True, False])
+def test_fused_kernel_interpret(monkeypatch, expand):
+    """Run the REAL fused Pallas kernel body (not the off-TPU reference)
+    in interpret mode, both expansion modes, against scipy.
+
+    Round-4 gap: off-TPU plans carried ``ref_ext_idx`` and the ~250-line
+    ``kern_body`` only ever executed on the chip.  Forcing
+    NSPARSE_PLAN_TARGET=tpu routes real masks off-TPU so plan changes
+    that break the kernel fail here, not in a bench round."""
+    monkeypatch.setenv("NSPARSE_PLAN_TARGET", "tpu")
+    if not expand:
+        # shrink the bank budget so the plan falls back to the
+        # standalone piecewise expansion + explicit tier-1 Benes (v1)
+        import nsparse_tpu.ops.spgemm_window as sw
+
+        monkeypatch.setattr(sw, "FUSED_BANK_BUDGET", 0)
+    rng = np.random.default_rng(11)
+    a = rmat_csr(8, edge_factor=6, dtype=np.float32, seed=3)
+    # positive values: phase sums compare without cancellation slack
+    import dataclasses
+
+    a = dataclasses.replace(
+        a, val=jnp.asarray(rng.uniform(0.5, 1.5, a.nnz).astype(np.float32))
+    )
+    plan = spgemm_plan(a, a, shuffle=True, layout="window")
+    w = plan.win
+    assert w is not None
+    assert w.fused_expand == expand
+    assert all(fp.ref_ext_idx is None for fp in w.fused)
+    c = spgemm_numeric(plan, a, a)
+    ref = spgemm_oracle(a, a)
+    assert check_spgemm_answer(c, ref, verbose=True)
+
+
+def test_fused_kernel_phase_gates(monkeypatch):
+    """NSPARSE_FUSED_PHASES gate, stage by stage: every prefix of the
+    fused kernel conserves the window products' sum (expansion fills the
+    arena, the Benes/extraction/entry stages permute, folds move totals
+    across PYR levels the o_r view does not cover)."""
+    monkeypatch.setenv("NSPARSE_PLAN_TARGET", "tpu")
+    rng = np.random.default_rng(7)
+    a = rmat_csr(8, edge_factor=6, dtype=np.float32, seed=3)
+    import dataclasses
+
+    a = dataclasses.replace(
+        a, val=jnp.asarray(rng.uniform(0.5, 1.5, a.nnz).astype(np.float32))
+    )
+    plan = spgemm_plan(a, a, shuffle=True, layout="window")
+    w = plan.win
+    assert w is not None and w.fused_expand
+    from nsparse_tpu.ops.kernels.piecewise import build_bank
+    from nsparse_tpu.ops.kernels.window_fused import fused_class_apply
+    from nsparse_tpu.ops.spgemm_window import apv_values
+
+    bank = build_bank(w.b8_gp, w.bank_rows, a.val)
+    apv = apv_values(w, a.val)
+    for ci, fp in enumerate(w.fused):
+        sums = {}
+        for ph in ("expand", "f0", "folds", "tiers", "extract", "full"):
+            monkeypatch.setenv("NSPARSE_FUSED_PHASES", ph)
+            out = fused_class_apply(
+                fp, bank=bank, apv=apv[fp.apv_lo : fp.apv_hi]
+            )
+            sums[ph] = float(jnp.sum(out.astype(jnp.float64)))
+        ref = sums["expand"]
+        assert ref > 0.0
+        for ph, s in sums.items():
+            np.testing.assert_allclose(
+                s, ref, rtol=1e-5,
+                err_msg=f"class {ci} phase {ph} lost mass",
+            )
