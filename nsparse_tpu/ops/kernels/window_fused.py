@@ -108,6 +108,7 @@ class FusedClassPlan:
     etrips: object = None
     ecuts: object = None
     eboffs: object = None
+    eends: object = None
     m1o: object = None
     m1t: object = None
     w: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -253,7 +254,7 @@ def _make_fused_kernel(cfg):
     pos = None  # built lazily inside the kernel
 
     def kern_body(refs):
-        (etrips_r, ecuts_r, eboffs_r, eapv_r, bank_r, x_r,
+        (etrips_r, ecuts_r, eboffs_r, eends_r, eapv_r, bank_r, x_r,
          trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r, m1o_r, m1t_r,
          tier_masks, o_r, pyr, e_s) = refs
 
@@ -272,25 +273,46 @@ def _make_fused_kernel(cfg):
         pyr[PR - TILE_ROWS : PR, :] = jnp.zeros((TILE_ROWS, LANES), dt)
         if EXPAND:
             # expansion (aligned-bank pieces) into the E scratch, then
-            # the tier-1 Benes lands F0 in PYR
+            # the tier-1 Benes lands F0 in PYR.  Pieces cover DISJOINT
+            # [cut, end) ranges of the subtile, so instead of the
+            # sequential overwrite chain the loop runs ILP independent
+            # accumulator chains (the piece loop is latency-bound: each
+            # iteration is a handful of vreg ops behind scalar address
+            # math, and the carried where() serialized them).
             W8 = J2_CAP // 8  # piece tables: 8 rows per step
+            ILP = 4
 
             def exp_sub(s, carry):
                 w8b = W8.bit_length() - 1  # W8 is a power of two
+                lo = etrips_r[s, 0]
+                hi = etrips_r[s, 1]
 
-                def piece(j, acc):
-                    r8 = j >> w8b
-                    c8 = j & (W8 - 1)
-                    cut = ecuts_r[r8, c8]
-                    boff = eboffs_r[r8, c8]
+                def one(jj, acc):
+                    r8 = jj >> w8b
+                    c8 = jj & (W8 - 1)
+                    # overrun slots (>= hi) belong to the next subtile:
+                    # force an empty range
+                    cut = jnp.where(jj < hi, ecuts_r[r8, c8], TILE)
+                    end = eends_r[r8, c8]
                     av = eapv_r[r8, c8]
-                    seg = bank_r[pl.ds(boff, TILE_ROWS), :]
-                    return jnp.where(pos >= cut, seg * av, acc)
+                    seg = bank_r[pl.ds(eboffs_r[r8, c8], TILE_ROWS), :]
+                    return acc + jnp.where(
+                        (pos >= cut) & (pos < end), seg * av, 0
+                    )
 
-                acc = jax.lax.fori_loop(
-                    etrips_r[s, 0], etrips_r[s, 1], piece,
-                    jnp.zeros((TILE_ROWS, LANES), dt),
+                def chunk(i, accs):
+                    j0 = lo + i * ILP
+                    return tuple(
+                        one(j0 + k, a) for k, a in enumerate(accs)
+                    )
+
+                z = jnp.zeros((TILE_ROWS, LANES), dt)
+                accs = jax.lax.fori_loop(
+                    0, (hi - lo + (ILP - 1)) // ILP, chunk, (z,) * ILP
                 )
+                acc = accs[0]
+                for a in accs[1:]:
+                    acc = acc + a
                 e_s[pl.ds(s * TILE_ROWS, TILE_ROWS), :] = acc
                 return carry
 
@@ -363,18 +385,35 @@ def _make_fused_kernel(cfg):
             return
 
         # --- 4. extraction -------------------------------------------
+        # pieces are disjoint [cut, end) ranges and the table is padded
+        # with inert pieces (cut == end == TILE, srow == 0), so the loop
+        # runs ILP independent accumulator chains over j_cap-safe chunks
+        ILPX = 4
+
         def sub_body(s, carry):
-            def piece(j, acc):
+            def one(j, acc):
                 cut = cuts_r[s, j]
                 end = ends_r[s, j]
                 srow = srows_r[s, j]
                 seg = pyr[pl.ds(srow, TILE_ROWS), :]
-                return jnp.where((pos >= cut) & (pos < end), seg, acc)
+                return acc + jnp.where(
+                    (pos >= cut) & (pos < end), seg, 0
+                )
 
-            acc = jax.lax.fori_loop(
-                0, trips_r[s, 0], piece,
-                jnp.zeros((TILE_ROWS, LANES), dt),
+            def chunk(i, accs):
+                j0 = i * ILPX
+                return tuple(
+                    one(j0 + k, a) for k, a in enumerate(accs)
+                )
+
+            z = jnp.zeros((TILE_ROWS, LANES), dt)
+            accs = jax.lax.fori_loop(
+                0, (trips_r[s, 0] + (ILPX - 1)) // ILPX, chunk,
+                (z,) * ILPX,
             )
+            acc = accs[0]
+            for a in accs[1:]:
+                acc = acc + a
             e_s[pl.ds(s * TILE_ROWS, TILE_ROWS), :] = acc
             return carry
 
@@ -392,12 +431,13 @@ def _make_fused_kernel(cfg):
         )
 
     if EXPAND:
-        def kern(etrips_r, ecuts_r, eboffs_r, eapv_r, bank_r,
+        def kern(etrips_r, ecuts_r, eboffs_r, eends_r, eapv_r, bank_r,
                  trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r,
                  m1o_r, m1t_r, *rest):
             tier_masks = rest[:N_TIERS]
             o_r, pyr, e_s = rest[N_TIERS:]
-            kern_body((etrips_r, ecuts_r, eboffs_r, eapv_r, bank_r, None,
+            kern_body((etrips_r, ecuts_r, eboffs_r, eends_r, eapv_r,
+                       bank_r, None,
                        trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r,
                        m1o_r, m1t_r, tier_masks, o_r, pyr, e_s))
     else:
@@ -405,7 +445,7 @@ def _make_fused_kernel(cfg):
                  *rest):
             tier_masks = rest[:N_TIERS]
             o_r, pyr, e_s = rest[N_TIERS:]
-            kern_body((None, None, None, None, None, x_r,
+            kern_body((None, None, None, None, None, None, x_r,
                        trips_r, cuts_r, ends_r, srows_r, emo_r, emt_r,
                        None, None, tier_masks, o_r, pyr, e_s))
 
@@ -464,13 +504,13 @@ def fused_class_apply(
             )
 
         in_specs += [
-            smem(8), smem_step(), smem_step(), smem_step(),
+            smem(8), smem_step(), smem_step(), smem_step(), smem_step(),
             pl.BlockSpec(
                 bank.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ]
         args += [
-            plan.etrips, plan.ecuts, plan.eboffs,
+            plan.etrips, plan.ecuts, plan.eboffs, plan.eends,
             apv.reshape(-1, w8), bank,
         ]
     in_specs += [smem(8), smem(plan.j_cap), smem(plan.j_cap),
@@ -493,7 +533,7 @@ def fused_class_apply(
             in_specs.append(vmem_rows(t_rows))
             args.append(mref)
     arity = tuple(arity)
-    n_lead = (13 if plan.expand else 7)
+    n_lead = (14 if plan.expand else 7)
 
     def flat_kern(*fargs):
         lead = fargs[:n_lead]

@@ -834,19 +834,24 @@ def build_window_structure(
                     buckets.setdefault(int(p_ph[i]), []).append(i)
                 taken = [False] * cnt
                 cur = 0
-                scan = 0
                 for _ in range(cnt):
+                    # minimum-gap next run: an exact phase match costs 0
+                    # slots; on a miss, take the smallest forward phase
+                    # step (the arbitrary-successor fallback this
+                    # replaces overflowed E capacity on near-full
+                    # windows, forcing a full repack pass)
                     i = -1
-                    lst = buckets.get(cur)
-                    while lst:
-                        cand2 = lst.pop()
-                        if not taken[cand2 - k0]:
-                            i = cand2
+                    for g in range(LANES):
+                        lst = buckets.get((cur + g) & (LANES - 1))
+                        while lst:
+                            cand2 = lst[-1]
+                            if taken[cand2 - k0]:
+                                lst.pop()
+                                continue
+                            i = lst.pop()
                             break
-                    if i < 0:
-                        while taken[scan]:
-                            scan += 1
-                        i = k0 + scan
+                        if i >= 0:
+                            break
                     taken[i - k0] = True
                     chain[pos] = i
                     pos += 1
@@ -1168,7 +1173,7 @@ def build_window_structure(
 
         # expansion piece tables (flat per step; in-kernel aligned-bank
         # pieces replace the standalone piecewise kernel)
-        ecuts = eboffs = etrips = None
+        ecuts = eboffs = eends = etrips = None
         eaidx_cls = None
         j2_cap = 8
         if fused_expand:
@@ -1219,9 +1224,19 @@ def build_window_structure(
             ecuts[stp, pj] = cut2
             eboffs[stp, pj] = code
             eaidx_cls[stp, pj] = era[rr2]
+            # piece ends (next piece's cut within the subtile): pieces
+            # cover disjoint [cut, end) ranges, so the kernel can split
+            # the expansion into independent accumulator chains instead
+            # of a sequential overwrite chain
+            eends = np.full((n_steps, pstep_w), _FTILE, np.int32)
+            eend2 = np.full(cut2.shape, _FTILE, np.int64)
+            same2 = tsub[1:] == tsub[:-1]
+            eend2[:-1][same2] = cut2[1:][same2]
+            eends[stp, pj] = eend2
             # SMEM blocks: 8 rows per step (Pallas last-two-dims rule)
             ecuts = ecuts.reshape(n_steps * 8, pstep_w // 8)
             eboffs = eboffs.reshape(n_steps * 8, pstep_w // 8)
+            eends = eends.reshape(n_steps * 8, pstep_w // 8)
 
         # entry permutation per window: out[(phi + rank) % W] = E[pos]
         eids = went[win_class[we_win] == j]
@@ -1286,6 +1301,7 @@ def build_window_structure(
             etrips=jnp.asarray(etrips) if fused_expand else None,
             ecuts=jnp.asarray(ecuts) if fused_expand else None,
             eboffs=jnp.asarray(eboffs) if fused_expand else None,
+            eends=jnp.asarray(eends) if fused_expand else None,
             m1o=m1_masks[j][0] if fused_expand else None,
             m1t=m1_masks[j][1] if fused_expand else None,
             expand=bool(fused_expand),
@@ -1479,8 +1495,16 @@ def build_window_structure(
             np.concatenate(eaidx_all) if eaidx_all
             else np.zeros(0, np.int32)
         )
-        apv_shuffle, apv_fill, apv_k = _build_apv_plan(eaidx_cat, nnz_a)
-        apv_len = int(eaidx_cat.size)
+        if dist:
+            # stacked-plan SPMD path: per-shard plans are normalized and
+            # tree-stacked, so keep the shard-uniform flat-gather route
+            # (a routed shuffle's geometry is shard-dependent)
+            apv_gp_top = build_flat_gather_plan(eaidx_cat)
+        else:
+            apv_shuffle, apv_fill, apv_k = _build_apv_plan(
+                eaidx_cat, nnz_a
+            )
+            apv_len = int(eaidx_cat.size)
         b8_gp_top = build_flat_gather_plan(
             np.asarray(b8_idx, dtype=np.int32)
         )

@@ -15,6 +15,11 @@ from nsparse_tpu.parallel.spgemm_halo import (
     spgemm_halo,
     spgemm_halo_plan,
 )
+from nsparse_tpu.parallel.spgemm_window import (
+    DistWindowPlan,
+    spgemm_numeric_dist_window,
+    spgemm_plan_dist_window,
+)
 
 __all__ = [
     "make_mesh",
@@ -32,4 +37,7 @@ __all__ = [
     "rap_halo",
     "spgemm_halo",
     "spgemm_halo_plan",
+    "DistWindowPlan",
+    "spgemm_plan_dist_window",
+    "spgemm_numeric_dist_window",
 ]

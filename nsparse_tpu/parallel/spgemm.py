@@ -183,17 +183,103 @@ def gather_partitioned(c: PartitionedCSR) -> CSR:
     return CSR.from_scipy(coo)
 
 
+def _sharded_structure(rpt_d: np.ndarray, col_d: np.ndarray, c_nnz,
+                       m: int, n: int, m_loc: int):
+    """Global CSR STRUCTURE (host numpy) of a row-sharded product, from
+    its symbolic plan's per-shard rpt/col.  Structure is host-known at
+    plan time by design (the symbolic phase sizes C on the host, like the
+    reference's two size syncs); the VALUES never ride along."""
+    d_n = rpt_d.shape[0]
+    offs = np.zeros(d_n + 1, np.int64)
+    np.cumsum([int(c_nnz[d]) for d in range(d_n)], out=offs[1:])
+    rpt = np.zeros(d_n * m_loc + 1, np.int64)
+    cols = []
+    for d in range(d_n):
+        rpt[d * m_loc : (d + 1) * m_loc + 1] = (
+            np.asarray(rpt_d[d], np.int64) + offs[d]
+        )
+        cols.append(np.asarray(col_d[d, : int(c_nnz[d])]))
+    rpt = rpt[: m + 1]
+    col = (
+        np.concatenate(cols) if cols else np.zeros(0, np.int64)
+    )
+    return rpt, col, int(offs[-1])
+
+
+def rap_dist_parts(
+    r: CSR,
+    a: CSR,
+    p: CSR,
+    mesh: Mesh,
+    axis: str = "x",
+    numeric: str = "esc",
+) -> PartitionedCSR:
+    """R @ A @ P with the intermediate A·P VALUES kept on device.
+
+    Planning (host, once per sparsity): plan A·P per shard, derive the
+    global A·P structure from the plan's rpt/col (no value pull), plan
+    R·(A·P) against that structure.  Numeric (device, reusable): the
+    A·P shard values are sliced/concatenated into the replicated right
+    operand on device — under a real mesh that concatenation is the
+    all-gather riding ICI.  ``numeric="window"`` routes both products
+    through the fused-window SPMD path (parallel/spgemm_window.py).
+
+    Round-4 review finding: the previous rap_dist gathered A·P through
+    host scipy between the two products; this keeps values on device
+    end to end (the final PartitionedCSR stays row-sharded)."""
+    import dataclasses as dc
+
+    n_shards = int(np.prod(mesh.devices.shape))
+    if numeric == "window":
+        from nsparse_tpu.parallel.spgemm_window import (
+            spgemm_numeric_dist_window,
+            spgemm_plan_dist_window,
+        )
+
+        plan_fn = spgemm_plan_dist_window
+        num_fn = spgemm_numeric_dist_window
+    else:
+        plan_fn, num_fn = spgemm_plan_dist, spgemm_numeric_dist
+
+    # --- symbolic (host, structure only) -------------------------------
+    a_part = partition_rows(a, n_shards)
+    plan1 = plan_fn(a_part, p)
+    rpt1 = plan1.plan.c_rpt if numeric == "window" else plan1.c_rpt
+    col1 = plan1.plan.c_col if numeric == "window" else plan1.c_col
+    rpt_ap, col_ap, nnz_ap = _sharded_structure(
+        np.asarray(rpt1), np.asarray(col1), plan1.c_nnz,
+        a.shape[0], p.shape[1], plan1.m_loc,
+    )
+    ap_struct = CSR(
+        rpt=jnp.asarray(rpt_ap, jnp.int32),
+        col=jnp.asarray(col_ap, jnp.int32),
+        val=jnp.zeros(nnz_ap, a.val.dtype),
+        shape=(a.shape[0], p.shape[1]),
+        nnz=nnz_ap,
+    )
+    r_part = partition_rows(r, n_shards)
+    plan2 = plan_fn(r_part, ap_struct)
+
+    # --- numeric (device values end to end) ----------------------------
+    ap_part = num_fn(plan1, a_part, p, mesh, axis)
+    ap_val = jnp.concatenate([
+        ap_part.val[d, : int(plan1.c_nnz[d])] for d in range(n_shards)
+    ]) if n_shards else jnp.zeros(0, a.val.dtype)
+    ap_dev = dc.replace(ap_struct, val=ap_val.astype(a.val.dtype))
+    return num_fn(plan2, r_part, ap_dev, mesh, axis)
+
+
 def rap_dist(
     r: CSR,
     a: CSR,
     p: CSR,
     mesh: Mesh,
     axis: str = "x",
+    numeric: str = "esc",
 ) -> CSR:
-    """Galerkin triple product R @ A @ P over the mesh (BASELINE config 5)."""
-    n_shards = int(np.prod(mesh.devices.shape))
-    a_part = partition_rows(a, n_shards)
-    ap = gather_partitioned(spgemm_dist(a_part, p, mesh, axis))
-    r_part = partition_rows(r, n_shards)
-    rap = spgemm_dist(r_part, ap, mesh, axis)
-    return gather_partitioned(rap)
+    """Galerkin triple product R @ A @ P over the mesh (BASELINE config 5).
+    The intermediate A·P stays on device (``rap_dist_parts``); only the
+    final result is gathered."""
+    return gather_partitioned(
+        rap_dist_parts(r, a, p, mesh, axis, numeric=numeric)
+    )

@@ -193,6 +193,7 @@ def _normalize_fused(per_shard, bank_rows_old, bank_rows_new):
                 etrips=jnp.asarray(z((0, 8), np.int32)),
                 ecuts=jnp.asarray(z((0, ref.j2_cap // 8), np.int32)),
                 eboffs=jnp.asarray(z((0, ref.j2_cap // 8), np.int32)),
+                eends=jnp.asarray(z((0, ref.j2_cap // 8), np.int32)),
                 m1o=jnp.asarray(z((0, LANES), np.int32)),
                 m1t=jnp.asarray(z((0, LANES), np.int32)),
                 tier_masks=tuple(
@@ -228,6 +229,9 @@ def _normalize_fused(per_shard, bank_rows_old, bank_rows_new):
         eboffs = np.asarray(p.eboffs)
         if nso:
             ecuts = _repack_j2(ecuts, nso, p.j2_cap, j2, TILE)
+            eends = _repack_j2(
+                np.asarray(p.eends), nso, p.j2_cap, j2, TILE
+            )
             eb = np.asarray(p.eboffs)
             phase, row = eb // bro, eb % bro
             eb = phase * bank_rows_new + row
@@ -235,8 +239,10 @@ def _normalize_fused(per_shard, bank_rows_old, bank_rows_new):
         else:
             ecuts = np.zeros((0, j2 // 8), np.int32)
             eboffs = np.zeros((0, j2 // 8), np.int32)
+            eends = np.zeros((0, j2 // 8), np.int32)
         ecuts = _pad_rows(ecuts, ns * 8, TILE)
         eboffs = _pad_rows(eboffs, ns * 8, 0)
+        eends = _pad_rows(eends, ns * 8, TILE)
         # masks: zero rows = identity stages on zero data
         emo = _pad_rows(p.emo, ns * ROWS, 0)
         emt = _pad_rows(p.emt, ns * ROWS, 0)
@@ -254,7 +260,7 @@ def _normalize_fused(per_shard, bank_rows_old, bank_rows_new):
             ends=jnp.asarray(ends), srows=jnp.asarray(srows),
             emo=jnp.asarray(emo), emt=jnp.asarray(emt),
             etrips=jnp.asarray(etrips), ecuts=jnp.asarray(ecuts),
-            eboffs=jnp.asarray(eboffs),
+            eboffs=jnp.asarray(eboffs), eends=jnp.asarray(eends),
             m1o=jnp.asarray(m1o), m1t=jnp.asarray(m1t),
             tier_masks=tuple(tms),
             j_cap=jc, j2_cap=j2, n_steps=ns, slots=ns * BLK,
@@ -387,8 +393,10 @@ def spgemm_plan_dist_window(a: PartitionedCSR, b: CSR) -> DistWindowPlan:
         )
         apv_gps.append(build_flat_gather_plan(ea_cat))
 
-        # merge rebuild against padded bases
-        src = np.asarray(ex["mrg_src"], np.int64).copy()
+        # merge rebuild against padded bases (classify on the UNSHIFTED
+        # src: a shifted run must not match a later class's old range)
+        src0 = np.asarray(ex["mrg_src"], np.int64)
+        src = src0.copy()
         old_bases = ex["class_bases"]
         old_widths = ex["class_widths"]
         old_slots = [
@@ -396,11 +404,11 @@ def spgemm_plan_dist_window(a: PartitionedCSR, b: CSR) -> DistWindowPlan:
             for w in old_widths
         ]
         fb_base_old = ex["arena_len"]
-        in_fb = src >= fb_base_old
+        in_fb = src0 >= fb_base_old
         for ob, w_, osl in zip(old_bases, old_widths, old_slots):
-            sel = (~in_fb) & (src >= ob) & (src < ob + osl)
-            src[sel] += new_base[w_] - ob
-        src[in_fb] += arena_len - fb_base_old
+            sel = (~in_fb) & (src0 >= ob) & (src0 < ob + osl)
+            src[sel] = src0[sel] + (new_base[w_] - ob)
+        src[in_fb] = src0[in_fb] + (arena_len - fb_base_old)
         merge, _ = build_runcopy_plan(
             src, np.asarray(ex["mrg_len"], np.int64),
             arena_len + fb_seg,
@@ -618,6 +626,9 @@ def spgemm_numeric_dist_window(
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(), P(), P()),
         out_specs=P(axis),
+        # pallas_call out_shapes carry no vma annotation; the body is
+        # per-shard-local (no collectives), so the vma check adds nothing
+        check_vma=False,
     )
     c_val = fn(dp.plan, dp.c_nnz_d, a.rpt, a.col, a.val,
                b.rpt, b.col, b.val)

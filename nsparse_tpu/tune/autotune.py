@@ -112,28 +112,39 @@ def default_candidates(a: CSR) -> Iterable[Plan]:
     return cands
 
 
-def _rank_chained(fmt, x, iters: int = 6) -> float:
-    """Blocked total of one ``iters``-chained SpMV loop (ranking score)."""
+def _rank_chained(fmt, x, iters: int = 6):
+    """Marginal per-op ms of a chained SpMV loop, ONE compile.
+
+    The iteration count rides as a traced argument (fori_loop lowers to
+    a while), so the same compiled program runs at two counts and the
+    per-op cost is the blocked-time difference — the sync offset that
+    made r4's sweep audit report whole-trial times as candidate "ms"
+    cancels.  Returns (per_op_ms, total_ms_at_hi, hi)."""
     import time as _time
 
     # fmt rides as an argument: closure arrays inline as literal constants
     # and can blow the remote compiler's request limit
     loop = jax.jit(
-        lambda c, f: jax.lax.fori_loop(
-            0, iters,
+        lambda c, f, n: jax.lax.fori_loop(
+            0, n,
             lambda i, cc: jax.lax.optimization_barrier(
                 spmv(f, cc) * 0.124
             ),
             c,
         )
     )
-    c = jax.block_until_ready(loop(x, fmt))  # compile + warm
-    best = float("inf")
+    lo, hi = 2, max(iters, 8)
+    c = jax.block_until_ready(loop(x, fmt, hi))  # compile + warm
+    t_lo = t_hi = float("inf")
     for _ in range(2):
         t0 = _time.perf_counter()
-        c = jax.block_until_ready(loop(c, fmt))
-        best = min(best, _time.perf_counter() - t0)
-    return best * 1e3
+        c = jax.block_until_ready(loop(c, fmt, hi))
+        t_hi = min(t_hi, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        c = jax.block_until_ready(loop(c, fmt, lo))
+        t_lo = min(t_lo, _time.perf_counter() - t0)
+    per_op = max(t_hi - t_lo, 0.0) / (hi - lo) * 1e3
+    return per_op, t_hi * 1e3, hi
 
 
 def autotune_spmv(
@@ -200,23 +211,26 @@ def autotune_spmv(
             try:
                 m, n = a.shape
                 if m == n:
-                    # rank by ONE blocked call of a K-iteration chained
-                    # loop: T = sync + K*work is monotone in the per-call
-                    # work, so the shared sync offset cancels in the
-                    # ranking while each candidate compiles only one
-                    # program (the remote compiler costs tens of seconds
-                    # per compile on the tunnel-attached chip)
-                    ms = _rank_chained(fmt, x, iters=max(trials, 16))
+                    # marginal per-op ranking, one compile per candidate
+                    # (the remote compiler costs tens of seconds per
+                    # compile on the tunnel-attached chip)
+                    ms, total_ms, k_hi = _rank_chained(
+                        fmt, x, iters=max(trials, 16)
+                    )
+                    sweep_extra = {
+                        "total_ms": round(total_ms, 4), "iters": k_hi
+                    }
                 else:
                     f = jax.jit(lambda fmt, x: spmv(fmt, x))
                     ms = time_fn(lambda: f(fmt, x), trials=trials, warmup=1)
+                    sweep_extra = {}
             except Exception as e:
                 _log_drop(plan, "measure", e)
                 continue
             plan = dataclasses.replace(plan, measured_ms=ms)
             SWEEP.append(
                 {"cand": _cand_repr(plan), "fate": "measured",
-                 "ms": round(ms, 4)}
+                 "ms_per_op": round(ms, 4), **sweep_extra}
             )
             score = ms
         else:

@@ -176,12 +176,17 @@ def derive(chip: str = "v5e") -> KernelConfig:
     # first within equal stream counts), filtered by scratch budget
     # S * R * 2 blocks * lanes * 4 B <= vmem / 12; then the unaligned
     # per-piece classes as fallbacks.
+    # J (pieces unrolled per subtile) ascends OUTERMOST: the kernel's
+    # select count is 8*J per step, and measured merges live at ~1.4
+    # pieces/subtile, so a low-J class that fits is ~J/8 the VPU work of
+    # the full-width one.  Within equal J, prefer the better DMA shapes.
     fixed = []
-    for S, R in ((1, 20 * sublanes), (sublanes, 2 * sublanes),
-                 (sublanes, 5 * sublanes), (2 * sublanes, 2 * sublanes),
-                 (sublanes, 20 * sublanes)):
-        if S * R * 2 * lanes * 4 <= vmem // 12:
-            fixed.append(("mspan", S, R, sublanes))
+    for J in (2, 4, sublanes):
+        for S, R in ((1, 20 * sublanes), (sublanes, 2 * sublanes),
+                     (sublanes, 5 * sublanes), (2 * sublanes, 2 * sublanes),
+                     (sublanes, 20 * sublanes)):
+            if S * R * 2 * lanes * 4 <= vmem // 12:
+                fixed.append(("mspan", S, R, J))
     fixed += [("ualign", 2, sublanes), ("ualign", sublanes, 2),
               ("ualign", 2 * sublanes, 1)]
 

@@ -30,7 +30,7 @@ import numpy as np
 from nsparse_tpu.tune.plan import matrix_fingerprint
 
 # bump when SpgemmPlan or any nested plan changes incompatibly
-PLAN_VERSION = 9  # v9: apv shuffle+fill delivery (was flat-gather)
+PLAN_VERSION = 10  # v10: eends expansion table (ILP chains); low-J mspan
 
 
 def _registry():
