@@ -143,8 +143,8 @@ def _benes_kernel(x_ref, m_ref, o_ref, *, width: int, stages=None,
             left = pltpu.roll(z, (LANES - d) % LANES, 1)
             right = pltpu.roll(z, d, 1)
             part = jnp.where((lane & d) == 0, left, right)
-        bit = (m >> t) & 1
-        z = jnp.where(bit == 1, part, z)
+        # bit-t as a sign test: shift+compare, one op fewer per stage
+        z = jnp.where((m << (31 - t)) < 0, part, z)
     o_ref[:] = z
 
 

@@ -165,8 +165,9 @@ def _apply_stages(z, m, stages, sub_dist=False):
             left = pltpu.roll(z, (LANES - d) % LANES, 1)
             right = pltpu.roll(z, d, 1)
             part = jnp.where((lane & d) == 0, left, right)
-        bit = (m >> t) & 1
-        z = jnp.where(bit == 1, part, z)
+        # bit-t test as a sign test: one shift + one compare (vs
+        # shift+and+compare) per stage over the full mask tile
+        z = jnp.where((m << (31 - t)) < 0, part, z)
     return z
 
 
@@ -293,12 +294,18 @@ def _make_fused_kernel(cfg):
                     # overrun slots (>= hi) belong to the next subtile:
                     # force an empty range
                     cut = jnp.where(jj < hi, ecuts_r[r8, c8], TILE)
-                    end = eends_r[r8, c8]
+                    # force a 0-length range on overrun pieces: the
+                    # unsigned test below would read end-cut < 0 as huge
+                    end = jnp.where(jj < hi, eends_r[r8, c8], TILE)
                     av = eapv_r[r8, c8]
                     seg = bank_r[pl.ds(eboffs_r[r8, c8], TILE_ROWS), :]
-                    return acc + jnp.where(
-                        (pos >= cut) & (pos < end), seg * av, 0
-                    )
+                    # cut <= pos < end as ONE unsigned compare: pieces
+                    # keep cut <= end <= TILE, so pos-cut underflows to
+                    # a huge uint32 exactly when pos < cut
+                    m = (pos - cut).astype(jnp.uint32) < (
+                        end - cut
+                    ).astype(jnp.uint32)
+                    return acc + jnp.where(m, seg * av, 0)
 
                 def chunk(i, accs):
                     j0 = lo + i * ILP
@@ -396,9 +403,10 @@ def _make_fused_kernel(cfg):
                 end = ends_r[s, j]
                 srow = srows_r[s, j]
                 seg = pyr[pl.ds(srow, TILE_ROWS), :]
-                return acc + jnp.where(
-                    (pos >= cut) & (pos < end), seg, 0
-                )
+                m = (pos - cut).astype(jnp.uint32) < (
+                    end - cut
+                ).astype(jnp.uint32)
+                return acc + jnp.where(m, seg, 0)
 
             def chunk(i, accs):
                 j0 = i * ILPX
